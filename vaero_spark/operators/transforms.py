@@ -1,0 +1,111 @@
+"""The reference's 7 per-event transforms as DataFrame → DataFrame
+functions built on native Column expressions (JVM-side, whole-stage
+codegen — no per-row Python anywhere).
+
+Semantics are pinned to the Go implementations in
+``/root/reference/transform/*.go``; each function's docstring cites the
+exact behavior it reproduces, including edge cases. The pytest suite
+asserts parity against the pure-Python oracle (``vaero_spark.oracle``)
+which interprets the same semantics literally.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vaero_spark.functions.paths import col_delete, col_get, col_set, has_column
+from vaero_spark.functions.regex_utils import named_groups, to_java_regex
+
+_HEX = "0123456789abcdef"
+
+
+def _str_value(df: DataFrame, path: str) -> Column:
+    """gjson ``value.String()``: missing field and JSON null both render
+    as the empty string; other scalars via their string form."""
+    if not has_column(df, path):
+        return F.lit("")
+    # booleans render true/false (lowercase) like Go; Spark cast agrees
+    return F.coalesce(F.col(path).cast("string"), F.lit(""))
+
+
+def add(df: DataFrame, path: str, value: Any) -> DataFrame:
+    """Set ``path`` to literal ``value`` in every row, overwriting;
+    creates intermediate structs (``transform/add.go:13-29``)."""
+    return col_set(df, path, F.lit(value))
+
+
+def delete(df: DataFrame, path: str) -> DataFrame:
+    """Remove ``path``; no-op if absent (``transform/delete.go:13-29``)."""
+    return col_delete(df, path)
+
+
+def rename(df: DataFrame, path: str, new_path: str) -> DataFrame:
+    """Read ``path``, set at ``new_path``, delete ``path``. Missing
+    ``path`` ⇒ ``new_path`` set to null and nothing deleted
+    (``transform/rename.go:14-41``)."""
+    if has_column(df, path) and len(path.split(".")) == 1 == len(new_path.split(".")) and not has_column(df, new_path):
+        return df.withColumnRenamed(path, new_path)  # fast path, no expr tree
+    value = col_get(df, path)
+    df = col_set(df, new_path, value)
+    return col_delete(df, path)
+
+
+def filter_regexp(df: DataFrame, path: str, regexp: str) -> DataFrame:
+    """Keep rows whose string form of ``path`` partially (unanchored)
+    matches. Missing field matches against the empty string — so a
+    pattern matching '' keeps all rows (``transform/filter_regexp.go:
+    13-31``: gjson missing ⇒ "" then ``regexp.MatchString``)."""
+    return df.filter(_str_value(df, path).rlike(to_java_regex(regexp)))
+
+
+def mask(df: DataFrame, path: str, regexp: str, replace_expr: str) -> DataFrame:
+    """Replace ALL matches in the string form of ``path`` with
+    ``replace_expr`` (Go ``ReplaceAllString`` with ``$1``/``$name`` group
+    expansion) and write the result back as a string — including when the
+    field was missing (the reference then *creates* it as the masked
+    empty string, ``transform/mask.go:16-34``)."""
+    masked = F.regexp_replace(_str_value(df, path), to_java_regex(regexp), replace_expr)
+    return col_set(df, path, masked)
+
+
+def parse_regexp(df: DataFrame, path: str, regexp: str) -> DataFrame:
+    """For each *named* capture group, add a top-level field with the
+    matched substring (``transform/parse_regexp.go:16-47``).
+
+    DOCUMENTED DIVERGENCE: on no-match the reference panics
+    (``parse_regexp.go:25,30`` indexes a nil slice); we null-fill the
+    group fields instead.
+    """
+    jre = to_java_regex(regexp)
+    src = _str_value(df, path)
+    matched = src.rlike(jre)
+    for name, idx in named_groups(regexp):
+        df = col_set(
+            df,
+            name,
+            F.when(matched, F.regexp_extract(src, jre, idx)).otherwise(F.lit(None).cast("string")),
+        )
+        src = _str_value(df, path)  # path may itself be a group name being overwritten
+        matched = src.rlike(jre)
+    return df
+
+
+def select(df: DataFrame, path: str) -> DataFrame:
+    """Replace each event with the raw string value at ``path`` — the
+    event stops being structured (``transform/select.go:11-23``).
+    Output schema: single ``value: string`` column."""
+    return df.select(_str_value(df, path).alias("value"))
+
+
+def hash_sample(df: DataFrame, rate_16ths: int, key: str = "text") -> DataFrame:
+    """Deterministic sample keeping ``rate_16ths/16`` of rows by the last
+    hex digit of ``md5(key)`` — reproducible across engines and cluster
+    sizes (unlike ``df.sample``, which is partitioning-dependent), so the
+    DuckDB oracle can replay it exactly. North-star 'sample' operator."""
+    if not 0 <= rate_16ths <= 16:
+        raise ValueError("rate_16ths in [0,16]")
+    keep = list(_HEX[:rate_16ths])
+    return df.filter(F.substring(F.md5(F.col(key).cast("string")), 32, 1).isin(keep))
