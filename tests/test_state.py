@@ -1,0 +1,130 @@
+"""Custom keyed-state operators (applyInPandasWithState): open-session
+tracking with event-time timeout, stateful dedup, routing counters,
+byte-cap flush parity."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vaero_spark.operators.state import (
+    byte_cap_flush,
+    routing_counters,
+    stateful_dedup,
+    track_open_sessions,
+)
+from vaero_spark.sinks.writers import MemorySink
+from vaero_spark.sources.transcripts import transcripts_stream
+from vaero_spark.testing.fixtures import write_transcripts_parquet
+
+
+def _run(spark, df, tmp, name, mode="update"):
+    sink = MemorySink()
+    q = (
+        df.writeStream.outputMode(mode)
+        .option("checkpointLocation", os.path.join(tmp, f"ckpt_{name}"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sink
+
+
+@pytest.fixture(scope="module")
+def src(tmp_path_factory):
+    d = tmp_path_factory.mktemp("state_src")
+    pdf = write_transcripts_parquet(str(d), n_files=3, n_turns=1500, n_convs=40, seed=23)
+    return str(d), pdf
+
+
+def test_stateful_dedup_removes_duplicates(spark, src, tmp_path):
+    src_dir, pdf = src
+    stream = transcripts_stream(spark, src_dir, max_files_per_trigger=1)
+    deduped = stateful_dedup(stream)
+    sink = _run(spark, deduped, str(tmp_path), "dedup", "append")
+    got = [(r.conv_id, r.turn_idx) for r in sink.rows()]
+    assert len(got) == len(set(got)), "emitted duplicates"
+    # every distinct (conv, turn) appears exactly once
+    want = set(zip(pdf["conv_id"], pdf["turn_idx"]))
+    assert set(got) == want
+
+
+def test_routing_counters_final_totals(spark, src, tmp_path):
+    src_dir, pdf = src
+    stream = transcripts_stream(spark, src_dir, max_files_per_trigger=1)
+    counters = routing_counters(stream)
+    sink = _run(spark, counters, str(tmp_path), "counters", "update")
+    # last update per conv = final totals
+    final = {}
+    for _, rows in sink.batches:
+        for r in rows:
+            final[r.conv_id] = (r.n_total, r.n_user, r.n_tool)
+    want = (
+        pdf.assign(
+            is_user=lambda d: d.role.eq("user"), is_tool=lambda d: d.role.eq("tool")
+        )
+        .groupby("conv_id")
+        .agg(n=("role", "size"), u=("is_user", "sum"), t=("is_tool", "sum"))
+    )
+    for conv, row in want.iterrows():
+        assert final[conv] == (row.n, row.u, row.t), conv
+
+
+def test_open_sessions_close_on_watermark(spark, tmp_path):
+    """Sessions emit closed=True once the watermark passes last_ts+gap —
+    event-time version of the reference's batch_max_time flush timer."""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-03-01 09:00:00")
+
+    def mk(rows, f):
+        conv, idx, ts = zip(*rows)
+        pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": pd.array(idx, dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": ["x"] * len(rows),
+                "tool": [""] * len(rows),
+                "ts": pd.Series(ts).astype("datetime64[us]"),
+            }
+        ).to_parquet(src / f, index=False)
+        time.sleep(1.1)
+
+    mk([("c1", 0, base), ("c1", 1, base + pd.Timedelta("5 minutes"))], "f0.parquet")
+    # far-future row advances the watermark beyond c1's last+gap
+    mk([("c2", 0, base + pd.Timedelta("3 hours"))], "f1.parquet")
+    mk([("c2", 1, base + pd.Timedelta("6 hours"))], "f2.parquet")
+
+    stream = transcripts_stream(spark, str(src), max_files_per_trigger=1)
+    sessions = track_open_sessions(stream, gap_seconds=1800, watermark="10 minutes")
+    sink = _run(spark, sessions, str(tmp_path), "sessions", "append")
+    closed = [r for r in sink.rows() if r.closed and r.conv_id == "c1"]
+    assert len(closed) == 1
+    (s,) = closed
+    assert s.n_turns == 2
+    assert s.session_start == base.to_pydatetime().replace(tzinfo=None)
+    assert s.session_end == (base + pd.Timedelta("35 minutes")).to_pydatetime().replace(tzinfo=None)
+
+
+def test_byte_cap_flush_counts(spark, src, tmp_path):
+    """batch_max_bytes parity (sinkNode.go:105-125): flush rows appear
+    whenever a prefix buffer would exceed the cap; each flushed buffer
+    except the trailing one is ≤ cap and adding one more event would
+    have exceeded it."""
+    src_dir, pdf = src
+    cap = 2000
+    stream = transcripts_stream(spark, src_dir, max_files_per_trigger=1)
+    flushes = byte_cap_flush(stream, batch_max_bytes=cap, prefix_format="yyyy-MM-dd")
+    sink = _run(spark, flushes, str(tmp_path), "flush", "append")
+    rows = sink.rows()
+    assert rows, "no flushes"
+    assert all(r.n_bytes <= cap for r in rows)
+    total_flushed = sum(r.n_events for r in rows)
+    assert 0 < total_flushed <= len(pdf)

@@ -130,4 +130,7 @@ def rows_as_json(df: DataFrame) -> DataFrame:
     event-string output)."""
     if df.columns == ["value"]:
         return df
-    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    # keep null fields: the oracle's sjson semantics serialize them
+    return df.select(
+        F.to_json(F.struct(*df.columns), {"ignoreNullFields": "false"}).alias("value")
+    )

@@ -1,0 +1,294 @@
+"""Per-conversation custom state — ``applyInPandasWithState`` operators.
+
+The reference's only stateful construct is the sink-side per-prefix
+buffer: byte-cap flush (``/root/reference/execute/sinkNode.go:105-125``)
+and time-cap flush via a timer goroutine (``sinkNode.go:242-254``).
+These operators generalize that to keyed state in Spark's state store
+(RocksDB-backed in production), checkpointed and exactly-once — the
+reference loses its buffers on crash.
+
+All logic is Arrow-batched pandas (no per-row Python in the JVM loop);
+state per key is O(1) scalars or a bounded set.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# open-session tracking (time-cap flush parity, event-time based)
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _session_tracker(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                    "n_turns": [n],
+                    "closed": [True],
+                }
+            )
+            return
+
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdf_iter:
+            us = pdf["ts"].astype("int64")  # datetime64[us/ns] → int64
+            if pdf["ts"].dtype == "datetime64[ns]":
+                us = us // 1000
+            lo, hi, cnt = int(us.min()), int(us.max()), len(pdf)
+            start_us = lo if start_us is None else min(start_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+            n += cnt
+        state.update((start_us, last_us, n))
+        # close the session when the event-time watermark passes last+gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                "n_turns": [n],
+                "closed": [False],
+            }
+        )
+
+    return fn
+
+
+def track_open_sessions(
+    stream: DataFrame, gap_seconds: int = 1800, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Emit a per-conversation session row on every update and a final
+    ``closed=True`` row when the watermark passes ``last_ts + gap`` —
+    the event-time version of the reference's time-cap flush timer
+    (``sinkNode.go:242-254``: flush fires ``batch_max_time`` after buffer
+    creation unless flushed meanwhile)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _session_tracker(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful dedup (seen-set per conversation)
+# ---------------------------------------------------------------------------
+
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.IntegerType()))])
+
+
+def _dedup_fn(
+    key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (seen_list,) = state.get if state.exists else ([],)
+    seen = set(seen_list or [])
+    for pdf in pdf_iter:
+        fresh_mask = ~pdf["turn_idx"].isin(seen) & ~pdf["turn_idx"].duplicated()
+        out = pdf[fresh_mask]
+        seen.update(int(t) for t in out["turn_idx"])
+        if len(out):
+            yield out
+    state.update((sorted(seen),))
+
+
+def stateful_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once per-(conv_id, turn_idx) pass-through — the custom-state
+    generalization of ``dropDuplicates`` (reference seed: the Okta cursor
+    ``>=`` late/dup gate, ``source_okta.py:91-113``). Keeps the full turn
+    row; the seen-set is bounded per conversation."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    out_schema = T.StructType([f for f in stream.schema.fields if f.name in cols])
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# routing counters (per-conversation route statistics)
+# ---------------------------------------------------------------------------
+
+COUNTER_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("n_user", T.LongType()),
+        T.StructField("n_tool", T.LongType()),
+        T.StructField("n_error", T.LongType()),
+    ]
+)
+
+COUNTER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_total", T.LongType()),
+        T.StructField("n_user", T.LongType()),
+        T.StructField("n_tool", T.LongType()),
+        T.StructField("n_error", T.LongType()),
+    ]
+)
+
+
+def _counter_fn(
+    key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    total, n_user, n_tool, n_error = state.get if state.exists else (0, 0, 0, 0)
+    for pdf in pdf_iter:
+        total += len(pdf)
+        n_user += int((pdf["role"] == "user").sum())
+        n_tool += int((pdf["role"] == "tool").sum())
+        n_error += int(pdf["text"].str.contains("error", regex=False).sum())
+    state.update((total, n_user, n_tool, n_error))
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "n_total": [total],
+            "n_user": [n_user],
+            "n_tool": [n_tool],
+            "n_error": [n_error],
+        }
+    )
+
+
+def routing_counters(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Running per-conversation routing statistics (north-star 'routing
+    counters' state)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _counter_fn,
+            outputStructType=COUNTER_OUTPUT_SCHEMA,
+            stateStructType=COUNTER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# byte-cap flush parity (batch_max_bytes)
+# ---------------------------------------------------------------------------
+
+FLUSH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("prefix", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+FLUSH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buf_bytes", T.LongType()),
+        T.StructField("buf_events", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _flush_fn(batch_max_bytes: int):
+    def fn(
+        key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (prefix,) = key
+        buf_bytes, buf_events, last_us = state.get if state.exists else (0, 0, 0)
+        flushed = []
+        for pdf in pdf_iter:
+            sizes = pdf["text"].str.len().astype("int64") + 1  # + newline, like "\n".join
+            us = pdf["ts"].astype("int64")
+            if pdf["ts"].dtype == "datetime64[ns]":
+                us = us // 1000
+            # vectorized pass per Arrow batch; flush decisions are per-event
+            # (sinkNode.go:105-125: if appending would exceed the cap, flush
+            # existing buffer, start fresh with the new event)
+            for size, t in zip(sizes.to_numpy(), us.to_numpy()):
+                if buf_bytes + size > batch_max_bytes and buf_events > 0:
+                    flushed.append((prefix, buf_events, buf_bytes, pd.Timestamp(int(last_us), unit="us")))
+                    buf_bytes, buf_events = 0, 0
+                buf_bytes += int(size)
+                buf_events += 1
+                last_us = int(t)
+        state.update((buf_bytes, buf_events, last_us))
+        if flushed:
+            yield pd.DataFrame(flushed, columns=["prefix", "n_events", "n_bytes", "last_ts"])
+
+    return fn
+
+
+def byte_cap_flush(
+    stream: DataFrame,
+    batch_max_bytes: int = 1_000_000,
+    prefix_format: str = "yyyy/MM/dd",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact-parity port of the sink buffer byte-cap: group events by the
+    strftime prefix of ts (``sinkNode.go:63-102``), flush a 'file' row
+    whenever the buffered text bytes would exceed ``batch_max_bytes``.
+    Rows with null ts are dropped, mirroring the reference's silent drop
+    of unparseable timestamps (``sinkNode.go:86-89``)."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        stream.filter(F.col("ts").isNotNull())
+        .withColumn("prefix", F.date_format("ts", prefix_format))
+        .withWatermark("ts", watermark)
+    )
+    return keyed.groupBy("prefix").applyInPandasWithState(
+        _flush_fn(batch_max_bytes),
+        outputStructType=FLUSH_OUTPUT_SCHEMA,
+        stateStructType=FLUSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,149 @@
+"""Sink implementations.
+
+The reference's sink interface is ``Init(config)`` / ``Flush(filename,
+prefix, eventList)`` (``/root/reference/integrations/sinks/sink.go:13-16``)
+with in-memory buffers that are lost on crash (at-most/at-least-once,
+``execute/sinkNode.go:105-125``). Ours are ``foreachBatch`` writers with
+**idempotent per-epoch commits**: re-delivery of an epoch after restart
+overwrites the same epoch directory and the commit marker dedups it —
+end-to-end exactly-once on top of checkpointed offsets.
+
+Production target is the Iceberg sink (atomic snapshot commits); the
+sandbox image has no Iceberg jar, so :class:`ExactlyOnceParquetSink`
+implements the same contract on parquet + epoch manifests. The probe in
+:func:`iceberg_available` flips the writer when the runtime jar exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@dataclass
+class ExactlyOnceParquetSink:
+    """Partitioned, epoch-committed parquet sink.
+
+    Layout::
+
+        <path>/data/epoch=<id>/prefix=<yyyy/MM/dd>/part-*.parquet
+        <path>/_epochs/<id>.json      # commit marker + lineage
+
+    ``write(batch_df, epoch_id)`` is idempotent: a re-run of a failed
+    epoch overwrites its own directory and the marker is rewritten last
+    (marker presence = committed). ``filename_prefix`` reproduces the
+    reference's strftime prefix partitioning (``sinkNode.go:63-102``;
+    default ``%Y/%m/%d`` ⇒ ``yyyy-MM-dd`` here), and rows with null ts
+    are dropped + counted, mirroring its silent unparseable-ts drop
+    (``sinkNode.go:86-89``) but observable in the manifest.
+    """
+
+    path: str
+    prefix_format: str = "yyyy-MM-dd"
+    ts_col: str = "ts"
+    order_cols: tuple = ("conv_id", "turn_idx")
+
+    def write(self, batch_df: DataFrame, epoch_id: int) -> dict:
+        marker = os.path.join(self.path, "_epochs", f"{epoch_id}.json")
+        if os.path.exists(marker):
+            return json.load(open(marker))  # already committed — dedup re-delivery
+
+        df = batch_df
+        dropped = 0
+        has_ts = self.ts_col in df.columns
+        if has_ts:
+            total = df.count()
+            df = df.filter(F.col(self.ts_col).isNotNull())
+            kept = df.count()
+            dropped = total - kept
+            df = df.withColumn("prefix", F.date_format(self.ts_col, self.prefix_format))
+        else:
+            kept = df.count()
+
+        # stable turn ordering within each output partition (the
+        # north-star per-turn ordering invariant): sort within partitions
+        # before write — cheap, no extra shuffle beyond the partitioner.
+        order = [c for c in self.order_cols if c in df.columns]
+        epoch_dir = os.path.join(self.path, "data", f"epoch={epoch_id}")
+        writer = df.sortWithinPartitions(*order) if order else df
+        w = writer.write.mode("overwrite")
+        if has_ts:
+            w = w.partitionBy("prefix")
+        w.parquet(epoch_dir)
+
+        manifest = {
+            "epoch": epoch_id,
+            "rows": kept,
+            "dropped_null_ts": dropped,
+            "committed_at": time.time(),
+            "path": epoch_dir,
+        }
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, marker)  # atomic commit point
+        return manifest
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        return lambda df, epoch_id: self.write(df, epoch_id)
+
+    def read_committed(self, spark) -> DataFrame:
+        """Read back only committed epochs (uncommitted partial data is
+        invisible — snapshot-isolation semantics like Iceberg)."""
+        epochs_dir = os.path.join(self.path, "_epochs")
+        if not os.path.isdir(epochs_dir):
+            return spark.createDataFrame([], "conv_id string")
+        paths = []
+        for m in sorted(os.listdir(epochs_dir)):
+            if m.endswith(".json"):
+                mf = json.load(open(os.path.join(epochs_dir, m)))
+                if mf["rows"] > 0:
+                    paths.append(mf["path"])
+        if not paths:
+            return spark.createDataFrame([], "conv_id string")
+        return spark.read.option("basePath", os.path.join(self.path, "data")).parquet(*paths)
+
+
+@dataclass
+class MemorySink:
+    """Collects batches driver-side — test/debug analog of the reference's
+    stdout sink (``sink_stdout.go:23-26``)."""
+
+    batches: list = field(default_factory=list)
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        def fn(df: DataFrame, epoch_id: int) -> None:
+            self.batches.append((epoch_id, df.collect()))
+
+        return fn
+
+    def rows(self) -> list:
+        return [r for _, rows in self.batches for r in rows]
+
+
+@dataclass
+class StdoutSink:
+    """Print joined events (``sink_stdout.go:23-26``)."""
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        def fn(df: DataFrame, epoch_id: int) -> None:
+            for row in df.collect():
+                print(row)
+
+        return fn
