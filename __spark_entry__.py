@@ -24,10 +24,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from vaero_spark.dsl import Vaero
 from vaero_spark.compiler import compile_batch
+from vaero_spark.functions import text as TXT
+from vaero_spark.operators import dedup as DD
+from vaero_spark.operators import multimodal as MM
+from vaero_spark.operators import similarity as SIM
 from vaero_spark.operators import transforms as TR
 from vaero_spark.operators.joins import asof_join_last_user, user_tool_join
 from vaero_spark.operators.skew import salted_agg
 from vaero_spark.operators.windows import session_windows, windowed_counts
+from vaero_spark.sources import corpus as CORPUS
 from vaero_spark.sources.transcripts import (
     TRANSCRIPTS_ORACLE_CTE,
     TRANSCRIPTS_WITH_DUPES_ORACLE_CTE,
@@ -191,12 +196,117 @@ def q_top_customers(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("spend_cents"))
+    # Distributed top-k (TakeOrderedAndProject) — never a global window
+    # over the full aggregate; rank only the 10 survivors.
+    top = per_cust.orderBy(F.col("spend_cents").desc(), "o_custkey").limit(10)
     w = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
-    return (
-        per_cust.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("o_custkey", "spend_cents", "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "o_custkey", "spend_cents", "rk"
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings / media)
+# ---------------------------------------------------------------------------
+
+def q_txt_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = CORPUS.load_documents(spark, sf_dir)
+    cols = TXT.token_counts("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def q_txt_quality(spark, sf_dir):
+    """Quality scoring: stopword/punct ratios + length prior (basis points)."""
+    d = CORPUS.load_documents(spark, sf_dir)
+    cols = TXT.quality_columns("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def q_txt_langid(spark, sf_dir):
+    """Language ID: stopword-profile argmax + CJK char class."""
+    d = CORPUS.load_documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        TXT.lang_id("text").alias("pred_lang"),
+        (TXT.lang_id("text") == F.col("lang")).cast("int").alias("agree"),
+    )
+
+
+def q_txt_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprint (Schleimer et al. SIGMOD'03)."""
+    d = CORPUS.load_documents(spark, sf_dir)
+    return d.select("doc_id", TXT.fingerprint("text").alias("fingerprint"))
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact text dedup: hash-groupBy on md5(text)."""
+    return DD.exact_dedup(CORPUS.documents_with_neardups(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (banding → bucket join → exact-Jaccard
+    verify) over the planted-near-dup corpus."""
+    return DD.minhash_lsh_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signature per doc (md5-derived bit votes)."""
+    return DD.simhash_docs(CORPUS.documents_with_neardups(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: byte-band candidates + Hamming ≤ 3 verify."""
+    return DD.simhash_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs via shingle inverted index."""
+    return DD.ngram_jaccard_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding dedup: md5 of int-quantized vectors, hash-groupBy."""
+    return DD.embedding_dup_groups(CORPUS.embeddings_with_dups(spark, sf_dir))
+
+
+def _ann_queries(df):
+    return df.filter(F.col("vec_id") % 25 == 0)
+
+
+def q_ann_brute(spark, sf_dir):
+    """Brute-force cosine top-5 (broadcast queries, int-quantized math)."""
+    e = CORPUS.load_embeddings(spark, sf_dir)
+    return SIM.cosine_topk_brute(e, _ann_queries(e), k=5)
+
+
+def q_ann_bucketed(spark, sf_dir):
+    """Sign-bit LSH-bucketed approximate top-5 (the 100 TB shape)."""
+    e = CORPUS.load_embeddings(spark, sf_dir)
+    return SIM.cosine_topk_bucketed(e, _ann_queries(e), k=5)
+
+
+def q_ann_hyperplane(spark, sf_dir):
+    """Random-hyperplane LSH ANN via vectorized pandas UDF (production
+    path; no SQL oracle — verified against brute force in tests)."""
+    e = CORPUS.load_embeddings(spark, sf_dir)
+    return SIM.cosine_topk_hyperplane(e, _ann_queries(e), k=5)
+
+
+def q_mm_meta(spark, sf_dir):
+    """Multimodal metadata extraction over binary payloads (mapInPandas)."""
+    return MM.extract_metadata(CORPUS.load_media(spark, sf_dir))
+
+
+def q_mm_frames(spark, sf_dir):
+    """Frame sampling: every 4th 16-byte window per payload (1→N rows)."""
+    return MM.sample_frames(CORPUS.load_media(spark, sf_dir))
+
+
+def q_mm_features(spark, sf_dir):
+    """Feature extraction: byte-stat vector per payload (mapInPandas)."""
+    return MM.extract_features(CORPUS.load_media(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -219,12 +329,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pricing": q_pricing,
         "q_nation_revenue": q_nation_revenue,
         "q_top_customers": q_top_customers,
+        "txt_tokens": q_txt_tokens,
+        "txt_quality": q_txt_quality,
+        "txt_langid": q_txt_langid,
+        "txt_fingerprint": q_txt_fingerprint,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_brute": q_ann_brute,
+        "ann_bucketed": q_ann_bucketed,
+        "ann_hyperplane": q_ann_hyperplane,
+        "mm_meta": q_mm_meta,
+        "mm_frames": q_mm_frames,
+        "mm_features": q_mm_features,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
 # ---------------------------------------------------------------------------
+
+# --- corpus / dedup / ANN oracle fragments (DuckDB dialect) ----------------
+
+_D = f"WITH {CORPUS.DOCUMENTS_ND_ORACLE_CTE}"
+_E = f"WITH {CORPUS.EMBEDDINGS_ND_ORACLE_CTE}"
+_M = f"WITH {CORPUS.MEDIA_ORACLE_CTE}"
+
+_SHINGLES = TXT.shingles_sql(TXT.tokens_sql())
+
+
+def _jaccard_tail(min_pct: int) -> str:
+    """Shared verification tail: exact Jaccard from `cand` (id_a, id_b)
+    and `shingle_rows` (doc_id, shingle)."""
+    return f"""
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle_rows GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN shingle_rows sa ON sa.doc_id = c.id_a
+          JOIN shingle_rows sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b)
+        SELECT i.id_a, i.id_b, i.inter,
+               za.n_sh + zb.n_sh - i.inter AS union_n
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE 100 * i.inter >= {min_pct} * (za.n_sh + zb.n_sh - i.inter)"""
+
+
+_MINHASH_SQL = f"""{_D},
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents_nd),
+    sig AS (SELECT doc_id, {TXT.minhash_sig_from_shingles_sql('sh')} AS sig FROM sh),
+    bands AS (SELECT doc_id, unnest({TXT.band_keys_sql('sig')}) AS bk FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    shingle_rows AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
+    {_jaccard_tail(50)}"""
+
+_NGRAM_SQL = f"""{_D},
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents_nd),
+    shingle_rows AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
+    informative AS (
+      SELECT shingle FROM shingle_rows GROUP BY shingle
+      HAVING count(*) <= greatest(CAST(floor(
+        (SELECT count(DISTINCT doc_id) FROM documents_nd) * 0.2) AS BIGINT), 1)),
+    sh_i AS (SELECT s.doc_id, s.shingle FROM shingle_rows s JOIN informative USING (shingle)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh_i a JOIN sh_i b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    {_jaccard_tail(50)}"""
+
+_SIMHASH_BANDS_DUCK = ", ".join(
+    f"CAST({i} AS VARCHAR) || ':' || CAST((simhash >> {8 * i}) & 255 AS VARCHAR)"
+    for i in range(4)
+)
+
+_SIMHASH_PAIRS_SQL = f"""{_D},
+    sh AS ({TXT.simhash_sql('documents_nd')}),
+    bands AS (SELECT doc_id, simhash, unnest([{_SIMHASH_BANDS_DUCK}]) AS band FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sh_a, b.simhash AS sh_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"""
+
+_QUANT = CORPUS.quantized_sql("embedding")
+
+_ANN_ELEMENTS = f"""
+    q AS (SELECT vec_id AS q_id, {_QUANT} AS qv FROM embeddings WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id AS n_id, {_QUANT} AS nv FROM embeddings),
+    qel AS (SELECT q_id, i, qv[i] AS v FROM q, unnest(generate_series(1, len(qv))) t(i)),
+    cel AS (SELECT n_id, i, nv[i] AS v FROM c, unnest(generate_series(1, len(nv))) t(i)),
+    qn AS (SELECT q_id, SUM(v * v) AS nsq FROM qel GROUP BY q_id),
+    cn AS (SELECT n_id, SUM(v * v) AS nsq FROM cel GROUP BY n_id)"""
+
+
+def _ann_sql(bucketed: bool) -> str:
+    bucket_join = ""
+    if bucketed:
+        bucket_join = f"""
+    qb AS (SELECT q_id, {SIM.sign_bucket_from_quant_sql('qv')} AS bucket FROM q),
+    cb AS (SELECT n_id, {SIM.sign_bucket_from_quant_sql('nv')} AS bucket FROM c),"""
+    pair_filter = (
+        "JOIN qb ON qb.q_id = qel.q_id JOIN cb ON cb.n_id = cel.n_id "
+        "AND qb.bucket = cb.bucket" if bucketed else ""
+    )
+    return f"""WITH {_ANN_ELEMENTS.lstrip()},{bucket_join}
+    dots AS (
+      SELECT qel.q_id, cel.n_id, SUM(qel.v * cel.v) AS dot
+      FROM qel JOIN cel ON qel.i = cel.i AND qel.q_id != cel.n_id
+      {pair_filter}
+      GROUP BY qel.q_id, cel.n_id),
+    scored AS (
+      SELECT d.q_id AS query_id, d.n_id AS neighbor_id,
+             CAST(floor(10000.0 * d.dot / (sqrt(CAST(qn.nsq AS DOUBLE))
+                  * sqrt(CAST(cn.nsq AS DOUBLE)))) AS BIGINT) AS sim_e4
+      FROM dots d JOIN qn ON qn.q_id = d.q_id JOIN cn ON cn.n_id = d.n_id)
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim_e4 DESC, neighbor_id) AS INTEGER) AS rank, sim_e4
+    FROM scored QUALIFY rank <= 5"""
+
 
 _WIN_AGGS = """
   COUNT(*) AS n_turns,
@@ -339,4 +566,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, spend_cents,
                    CAST(ROW_NUMBER() OVER (ORDER BY spend_cents DESC, o_custkey) AS INTEGER) AS rk
             FROM per_cust QUALIFY rk <= 10""",
+        "txt_tokens": f"SELECT doc_id, {TXT.token_counts_sql()} FROM documents",
+        "txt_quality": f"SELECT doc_id, {TXT.quality_sql()} FROM documents",
+        "txt_langid": f"""
+            SELECT doc_id, lang, {TXT.lang_id_sql()} AS pred_lang,
+                   CAST({TXT.lang_id_sql()} = lang AS INTEGER) AS agree
+            FROM documents""",
+        "txt_fingerprint": f"SELECT doc_id, {TXT.fingerprint_sql()} AS fingerprint FROM documents",
+        "dedup_exact_docs": f"""{_D}
+            SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
+                   count(*) AS n_copies
+            FROM documents_nd GROUP BY md5(text)""",
+        "dedup_minhash": _MINHASH_SQL,
+        "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "dedup_ngram_jaccard": _NGRAM_SQL,
+        "dedup_embedding": f"""{_E},
+            sigs AS (SELECT vec_id,
+                     md5(array_to_string({CORPUS.quantized_sql()}, ',')) AS vec_sig
+                     FROM embeddings_nd)
+            SELECT min(vec_id) AS keep_id, count(*) AS n_copies,
+                   array_to_string(list_sort(list(vec_id)), ',') AS members
+            FROM sigs GROUP BY vec_sig HAVING count(*) > 1""",
+        "ann_brute": _ann_sql(bucketed=False),
+        "ann_bucketed": _ann_sql(bucketed=True),
+        # ann_hyperplane: intentionally no oracle (float matmul in a
+        # pandas UDF has no bit-stable SQL twin; tested vs brute force)
+        "mm_meta": f"""{_M}
+            SELECT doc_id, kind, CAST(length(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS checksum, width, height
+            FROM media""",
+        "mm_frames": f"""{_M}
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                   md5(substr(text, f * {MM.FRAME_BYTES} + 1, {MM.FRAME_BYTES})) AS frame_md5
+            FROM media, unnest(list_filter(
+                 generate_series(0, CAST(floor(length(text) / {MM.FRAME_BYTES}) AS INTEGER) - 1),
+                 f -> f % {MM.FRAME_STRIDE} = 0)) t(f)""",
+        "mm_features": f"""{_M}
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(SUM(ascii(substr(text, i, 1))) AS BIGINT) AS byte_sum,
+                   CAST(MIN(ascii(substr(text, i, 1))) AS INTEGER) AS byte_min,
+                   CAST(MAX(ascii(substr(text, i, 1))) AS INTEGER) AS byte_max
+            FROM media, unnest(generate_series(1, length(text))) t(i)
+            GROUP BY doc_id, length(text)""",
     }

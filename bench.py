@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default mode (what the driver runs per-round):
+
+    python bench.py            # one JSON line on stdout
+
+- Runs every ``queries()`` entry from ``__spark_entry__`` at
+  ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+  ``local[$SPARK_GRAFT_CPUS]`` (default 32), forcing each plan with a
+  ``noop`` write (full execution, no driver collect).
+- Runs the full tap→transform→route→sink streaming pipeline (the
+  north-star metric: sustained turns/sec) at TWO parallelism levels —
+  ``local[8]`` and ``local[32]`` — on the SAME replicated input, in
+  fresh subprocesses (fresh JVM each, no warm-cache bias), and reports
+  throughput at both plus scaling efficiency ``(tput_4N / tput_N) / 4``
+  (the sandbox substitute for N vs 4N executors; north rule wants
+  ≥ 0.8).
+
+Internal mode (used by the scaling subprocesses):
+
+    python bench.py --throughput --cores 8 --input DIR --rows N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+SCALING_CORES = (8, 32)  # N and 4N worker threads
+REPLICATION = 200  # sf0.1 events x200 = 20M turns for the throughput job
+INPUT_FILES = 192  # with maxFilesPerTrigger=64 => 3 micro-batches
+FILES_PER_TRIGGER = 64
+BENCH_TMP = os.path.join(tempfile.gettempdir(), "vaero_bench")
+
+
+def _spark(cores: int, app: str):
+    from vaero_spark.session import get_spark
+
+    return get_spark(
+        app,
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )},
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch query bench
+# ---------------------------------------------------------------------------
+
+def run_query_bench(sf_dir: str, cores: int) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    spark = _spark(cores, "vaero_bench_queries")
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+# ---------------------------------------------------------------------------
+# streaming throughput job (the north-star metric)
+# ---------------------------------------------------------------------------
+
+def prepare_throughput_input(sf_dir: str, rep: int) -> tuple[str, int]:
+    """Materialize the replicated transcripts stream input ONCE (shared by
+    both parallelism levels so the comparison is apples-to-apples).
+
+    Replication shifts conv_id per copy, so conversations (and therefore
+    per-key state) scale with data volume — at 10^12 turns you have more
+    conversations, not 10^6x hotter ones.
+    """
+    marker = os.path.join(BENCH_TMP, f"input_{Path(sf_dir).name}_x{rep}")
+    out = os.path.join(marker, "parquet")
+    done = os.path.join(marker, "_DONE")
+    if os.path.exists(done):
+        with open(done) as fh:
+            return out, int(fh.read().strip())
+
+    from pyspark.sql import functions as F
+    from vaero_spark.sources.transcripts import load_transcripts
+
+    shutil.rmtree(marker, ignore_errors=True)
+    spark = _spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), "vaero_bench_prep")
+    t = load_transcripts(spark, sf_dir)
+    reps = spark.range(rep).select(F.col("id").alias("rep"))
+    big = (
+        t.crossJoin(F.broadcast(reps))
+        .withColumn("conv_id", F.concat("conv_id", F.lit("-r"), F.col("rep")))
+        .drop("rep")
+    )
+    big.repartition(INPUT_FILES).write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    with open(done, "w") as fh:
+        fh.write(str(n))
+    return out, n
+
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+def _pipeline_transform(df):
+    """The shared transform prefix of the flagship pipeline (mask PII,
+    mask long numbers, parse two fields, tag)."""
+    from vaero_spark.operators import transforms as TR
+
+    df = TR.mask(df, "text", EMAIL_RE, "<EMAIL>")
+    df = TR.mask(df, "text", "[0-9]{4,}", "<NUM>")
+    df = TR.parse_regexp(df, "text", "k=(?<kval>[0-9]+)")
+    df = TR.parse_regexp(df, "text", "of (?<conv>conv-[^:]+):")
+    df = TR.add(df, "pipeline", "bench")
+    return df
+
+
+def run_throughput(cores: int, input_dir: str, n_rows: int) -> dict:
+    """The full pipeline: tap (file stream) → transforms (mask PII,
+    parse_regexp, add) → route (error/rest branch fan-out) → exactly-once
+    partitioned parquet sinks. Returns sustained turns/sec.
+
+    Sustained = rows / trigger time over epochs AFTER the first: epoch 0
+    absorbs JIT compilation of the codegen'd regex pipeline (measured 5x
+    slower cold — a JVM property, not a pipeline property) plus stream
+    start-up; a real deployment runs hot for days. A batch-mode warm-up
+    of the same plan shapes runs first for the same reason.
+    """
+    from pyspark.sql import functions as F
+    from vaero_spark.sinks.writers import ExactlyOnceParquetSink
+    from vaero_spark.sources.transcripts import transcripts_stream
+    from vaero_spark.streaming.engine import run_streaming_fanout
+
+    spark = _spark(cores, f"vaero_bench_tput_{cores}")
+    work = tempfile.mkdtemp(prefix=f"vaero_tput_{cores}_")
+
+    # Warm-up: same scan/transform/write code paths on a small slice —
+    # compiles the generated code and primes the page cache.
+    warm = spark.read.parquet(input_dir).limit(200_000)
+    _pipeline_transform(warm).filter(~F.col("text").rlike("error")).write.option(
+        "parquet.enable.dictionary", "false"
+    ).mode("overwrite").parquet(os.path.join(work, "_warmup"))
+
+    src = transcripts_stream(spark, input_dir, max_files_per_trigger=FILES_PER_TRIGGER)
+    branches = {
+        "errors": lambda b: b.filter(F.col("text").rlike("error")),
+        "rest": lambda b: b.filter(~F.col("text").rlike("error")),
+    }
+    sinks = {n: ExactlyOnceParquetSink(os.path.join(work, n)) for n in branches}
+    t0 = time.perf_counter()
+    pipe = run_streaming_fanout(
+        spark,
+        src,
+        branches,
+        sink_factory=lambda name: sinks[name],
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        common_fn=_pipeline_transform,
+    )
+    pipe.process_all()
+    elapsed = time.perf_counter() - t0
+    prog = [
+        p if isinstance(p, dict) else json.loads(p if isinstance(p, str) else p.json)
+        for p in pipe.query.recentProgress
+    ]
+    prog = [p for p in prog if p.get("numInputRows", 0) > 0]
+    sustained = prog[1:] if len(prog) > 1 else prog
+    busy_ms = sum(p["durationMs"]["triggerExecution"] for p in sustained)
+    sus_rows = sum(p["numInputRows"] for p in sustained)
+    pipe.stop()
+    out_rows = sum(s.read_committed(spark).count() for s in sinks.values())
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "cores": cores,
+        "rows": n_rows,
+        "out_rows": out_rows,
+        "epochs": len(prog),
+        "elapsed_sec": round(elapsed, 3),
+        "wall_turns_per_sec": round(n_rows / elapsed, 1),
+        "sustained_busy_sec": round(busy_ms / 1000, 3),
+        "turns_per_sec": round(sus_rows / (busy_ms / 1000), 1) if busy_ms else None,
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, same input, two parallelism levels, fresh JVM each."""
+    input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
+    results = {}
+    for cores in SCALING_CORES:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--throughput", "--cores", str(cores),
+             "--input", input_dir, "--rows", str(n_rows)],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            results[cores] = json.loads(line)
+        except (json.JSONDecodeError, IndexError):
+            results[cores] = {"error": proc.stderr[-2000:]}
+    lo, hi = SCALING_CORES
+    eff = None
+    if "turns_per_sec" in results.get(lo, {}) and "turns_per_sec" in results.get(hi, {}):
+        eff = round(results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"] / (hi / lo), 3)
+    return {
+        "input_rows": n_rows,
+        f"local[{lo}]": results[lo],
+        f"local[{hi}]": results[hi],
+        "scaling_efficiency": eff,
+    }
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--throughput", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--input", type=str, default=None)
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--no-scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.throughput:
+        print(json.dumps(run_throughput(args.cores, args.input, args.rows)))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    t0 = time.perf_counter()
+    timings = run_query_bench(sf_dir, cpus)
+    scaling = None if args.no_scaling else run_scaling(sf_dir)
+    total = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline query suite wall time + streaming pipeline turns/sec at 2 parallelism levels",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cpus,
+        "total_wall_sec": total,
+    }
+    if scaling is not None:
+        out["streaming_scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

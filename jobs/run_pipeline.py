@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""spark-submit entry point for a vaero_spark streaming pipeline.
+
+Cluster usage (the north-rule deployment shape)::
+
+    cd /root/repo && zip -r /tmp/vaero_spark.zip vaero_spark
+    spark-submit --master <cluster> --py-files /tmp/vaero_spark.zip \
+        jobs/run_pipeline.py \
+        --input  <iceberg-table-or-parquet-dir> \
+        --output <sink-root> \
+        --checkpoint <checkpoint-dir> \
+        [--available-now] [--trigger-seconds 10] [--max-files-per-trigger 32]
+
+The job identity IS the checkpoint dir (reference analog: the SQLite
+``jobs`` table, ``/root/reference/cmd/util.go:144-177``): resubmitting
+with the same checkpoint resumes exactly-once from committed offsets.
+
+The pipeline run here is the flagship tap→transform→route→sink DAG:
+mask PII → parse k= → route errors/rest → two exactly-once partitioned
+parquet (Iceberg-shaped) sinks, with per-epoch lineage manifests and a
+metrics listener. In the sandbox this same file is executed by
+``spark-submit --master local[N]`` in tests and by bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# When shipped via --py-files the package is importable as-is; when run
+# from the repo checkout, add the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+def build_branches():
+    from vaero_spark.operators import transforms as TR
+
+    def transform(df):
+        df = TR.mask(df, "text", EMAIL_RE, "<EMAIL>")
+        df = TR.parse_regexp(df, "text", "k=(?<kval>[0-9]+)")
+        df = TR.add(df, "pipeline", "flagship")
+        return df
+
+    return {
+        "errors": lambda b: transform(b).filter(F.col("text").rlike("error")),
+        "rest": lambda b: transform(b).filter(~F.col("text").rlike("error")),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--available-now", action="store_true",
+                    help="drain what exists, then exit (batch-style run)")
+    ap.add_argument("--trigger-seconds", type=float, default=None)
+    ap.add_argument("--max-files-per-trigger", type=int, default=32)
+    args = ap.parse_args()
+
+    from vaero_spark.sinks.writers import ExactlyOnceParquetSink
+    from vaero_spark.sources.transcripts import transcripts_stream
+    from vaero_spark.streaming.engine import run_streaming_fanout
+    from vaero_spark.streaming.lineage import attach_metrics_listener
+
+    # spark-submit owns master/executors; only semantics confs here.
+    spark = (
+        SparkSession.builder.appName("vaero_pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    metrics = attach_metrics_listener(spark)
+
+    src = transcripts_stream(spark, args.input, args.max_files_per_trigger)
+    sinks = {
+        name: ExactlyOnceParquetSink(os.path.join(args.output, name))
+        for name in ("errors", "rest")
+    }
+    t0 = time.perf_counter()
+    pipe = run_streaming_fanout(
+        spark,
+        src,
+        build_branches(),
+        sink_factory=lambda name: sinks[name],
+        checkpoint_dir=args.checkpoint,
+        trigger_seconds=args.trigger_seconds,
+    )
+    if args.available_now:
+        pipe.process_all()
+        pipe.stop()
+        elapsed = time.perf_counter() - t0
+        out = sum(s.read_committed(spark).count() for s in sinks.values())
+        print(json.dumps({"status": "drained", "out_rows": out,
+                          "elapsed_sec": round(elapsed, 2)}))
+    else:
+        pipe.query.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

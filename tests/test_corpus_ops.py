@@ -1,0 +1,195 @@
+"""Tests for training-data pipeline operators: text analysis, dedup
+families, ANN similarity, multimodal plumbing.
+
+Cross-engine value parity is covered by tools/check_oracle.py (the
+driver's gate); these tests pin the *semantics*: planted duplicates are
+found, approximate methods agree with exact baselines, stubs fail
+loudly, batch shapes hold.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vaero_spark.operators import dedup as DD
+from vaero_spark.operators import multimodal as MM
+from vaero_spark.operators import similarity as SIM
+from vaero_spark.sources import corpus as CORPUS
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_nd(spark):
+    return CORPUS.documents_with_neardups(spark, SF).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return CORPUS.load_embeddings(spark, SF).cache()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_minhash_finds_all_planted_neardups(spark, docs_nd):
+    planted = {
+        (r.doc_id, r.doc_id + CORPUS.ND_OFFSET)
+        for r in docs_nd.filter(
+            (F.col("doc_id") % CORPUS.DOC_ND_EVERY == 0)
+            & (F.col("doc_id") < CORPUS.ND_OFFSET)
+        ).collect()
+    }
+    found = {
+        (r.id_a, r.id_b) for r in DD.minhash_lsh_pairs(docs_nd).collect()
+    }
+    assert planted, "fixture must plant near-dups"
+    missing = planted - found
+    assert not missing, f"minhash+LSH missed planted near-dups: {missing}"
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(spark, docs_nd):
+    """LSH candidates are verified exactly, so minhash pairs ⊆ the
+    exhaustive n-gram-Jaccard pairs at the same threshold."""
+    mh = {(r.id_a, r.id_b) for r in DD.minhash_lsh_pairs(docs_nd).collect()}
+    ex = {(r.id_a, r.id_b) for r in DD.ngram_jaccard_pairs(docs_nd).collect()}
+    assert mh <= ex
+
+
+def test_simhash_identical_text_same_hash(spark, docs_nd):
+    sh = DD.simhash_docs(docs_nd)
+    planted = sh.filter(F.col("doc_id") >= CORPUS.ND_OFFSET).withColumn(
+        "orig_id", F.col("doc_id") - CORPUS.ND_OFFSET
+    )
+    joined = planted.alias("p").join(
+        sh.alias("o"), F.col("p.orig_id") == F.col("o.doc_id")
+    )
+    # near-dup text (one appended token) → small Hamming distance
+    ham = joined.select(
+        F.bit_count(
+            F.col("p.simhash").bitwiseXOR(F.col("o.simhash"))
+        ).alias("h")
+    )
+    assert ham.agg(F.max("h")).first()[0] <= 6
+
+
+def test_exact_dedup_counts(spark, docs_nd):
+    base = docs_nd.count()
+    groups = DD.exact_dedup(docs_nd)
+    assert groups.agg(F.sum("n_copies")).first()[0] == base
+
+
+def test_embedding_dup_groups_find_planted(spark):
+    e = CORPUS.embeddings_with_dups(spark, SF)
+    n_planted = e.filter(F.col("vec_id") >= CORPUS.ND_OFFSET).count()
+    groups = DD.embedding_dup_groups(e).collect()
+    assert len(groups) == n_planted
+    for g in groups:
+        assert g.n_copies == 2
+        a, b = g.members.split(",")
+        assert int(b) == int(a) + CORPUS.ND_OFFSET
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_brute_topk_shape_and_determinism(spark, emb):
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    r1 = SIM.cosine_topk_brute(emb, q, k=5).collect()
+    r2 = SIM.cosine_topk_brute(emb, q, k=5).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    per_q = {}
+    for row in r1:
+        per_q.setdefault(row.query_id, []).append(row)
+    for qid, rows in per_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, len(rows) + 1)
+        )
+        assert all(r.neighbor_id != qid for r in rows)
+
+
+def test_bucketed_results_subset_of_brute_scores(spark, emb):
+    """Every bucketed hit must carry the same score the brute-force path
+    assigns to that (query, neighbor) pair."""
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = {
+        (r.query_id, r.neighbor_id): r.sim_e4
+        for r in SIM.cosine_topk_brute(emb, q, k=emb.count()).collect()
+    }
+    for r in SIM.cosine_topk_bucketed(emb, q, k=5).collect():
+        assert brute[(r.query_id, r.neighbor_id)] == r.sim_e4
+
+
+def test_hyperplane_ann_recall_vs_brute(spark, emb):
+    """Multi-table random-hyperplane ANN top-1 recall vs brute force.
+
+    The synthetic corpus is diffuse (true top-1 cosine ≈ 0.3–0.44, i.e.
+    ~69° apart), so per-plane collision p = 1 − θ/π ≈ 0.61: a
+    recall-oriented config (4 planes × 12 tables ⇒ expected recall
+    1 − (1 − 0.61⁴)¹² ≈ 0.83) must beat 0.5; precision-oriented
+    defaults trade that recall for smaller buckets."""
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    brute_top1 = {
+        r.query_id: r.neighbor_id
+        for r in SIM.cosine_topk_brute(emb, q, k=1).collect()
+    }
+    ann_top1 = {
+        r.query_id: r.neighbor_id
+        for r in SIM.cosine_topk_hyperplane(
+            emb, q, k=1, n_planes=4, n_tables=12
+        ).collect()
+        if r.rank == 1
+    }
+    hits = sum(1 for k, v in brute_top1.items() if ann_top1.get(k) == v)
+    assert hits / len(brute_top1) >= 0.5
+
+
+def test_hyperplane_duplicate_vectors_are_top1(spark):
+    """A planted exact-duplicate vector lands in the same LSH bucket by
+    construction and must be retrieved as the top-1 neighbor."""
+    e = CORPUS.embeddings_with_dups(spark, SF)
+    q = e.filter(
+        (F.col("vec_id") % CORPUS.EMB_ND_EVERY == 0) & (F.col("vec_id") < CORPUS.ND_OFFSET)
+    )
+    top1 = {
+        r.query_id: (r.neighbor_id, r.sim)
+        for r in SIM.cosine_topk_hyperplane(e, q, k=1).collect()
+    }
+    for qid, (nid, sim) in top1.items():
+        assert nid == qid + CORPUS.ND_OFFSET
+        assert sim == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_media_metadata_matches_native(spark):
+    """mapInPandas metadata must equal the native-expression answer."""
+    media = CORPUS.load_media(spark, SF)
+    udf_side = MM.extract_metadata(media).select("doc_id", "n_bytes", "checksum")
+    native = media.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
+    assert udf_side.exceptAll(native).count() == 0
+    assert native.exceptAll(udf_side).count() == 0
+
+
+def test_frame_sampling_counts(spark):
+    media = CORPUS.load_media(spark, SF)
+    frames = MM.sample_frames(media)
+    got = {r.doc_id: r.n for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    for row in media.select("doc_id", F.octet_length("payload").alias("nb")).collect():
+        n_full = row.nb // MM.FRAME_BYTES
+        expect = len(range(0, n_full, MM.FRAME_STRIDE))
+        assert got.get(row.doc_id, 0) == expect
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG...")

@@ -1,0 +1,336 @@
+"""Text-analysis primitives for the training-data pipeline operators.
+
+Everything here is a **narrow, per-row column expression** (no shuffle,
+no Python row loop): tokenization, shingling, stopword stats, quality
+scoring, language-ID, token counting, and winnowing fingerprints are all
+built from Spark higher-order array functions (`transform` / `filter` /
+`aggregate`), so they stay inside whole-stage codegen and scale linearly
+with input splits — the property that matters at 100 TB.
+
+Every primitive has a DuckDB-SQL twin generated from the SAME constants
+(seeds, stopword lists, regexes), so the driver's oracle comparison
+rebuilds identical values. All arithmetic is integer / string (md5 hex,
+counts, basis points) — no float drift between engines.
+
+Reference seed: the reference has no text analytics at all (its Python
+layer never touches data, ``/root/reference/vaero/stream.py``); these are
+the gap-analysis operators a transcript/training-data pipeline needs
+(SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark AND the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+TOKEN_SPLIT_RE = " +"
+
+# BPE-ish pre-tokenizer: alpha runs, digit runs, or single non-space symbol
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "que"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic argmax tiebreak
+CJK_RE = r"[\x{4e00}-\x{9fff}]"  # RE2 & Java both accept \x{...}
+
+SHINGLE_K = 3  # words per shingle
+MINHASH_N = 12  # signature length
+MINHASH_BANDS = 4  # 4 bands x 3 rows
+WINNOW_W = 4  # winnowing window (shingle hashes per window)
+
+_HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(c, TOKEN_SPLIT_RE), "")
+
+
+def tokens_sql(col: str = "text") -> str:
+    return f"list_filter(regexp_split_to_array({col}, ' +'), t -> t != '')"
+
+
+def shingles(tok: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles as space-joined strings; a doc shorter than k
+    words yields one (short) shingle."""
+    n = F.greatest(F.size(tok) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(tok, i, k), " "),
+    )
+
+
+def shingles_sql(tok: str, k: int = SHINGLE_K) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({tok}) - {k - 1}, 1)), "
+        f"i -> array_to_string({tok}[i:i+{k - 1}], ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+def token_counts(col: str | Column) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_chars": F.length(c).cast("bigint"),
+        "n_ws_tokens": F.size(tokens(c)).cast("bigint"),
+        "n_bpe_tokens": F.size(F.expr(f"regexp_extract_all(text, '{BPE_TOKEN_RE}', 0)")).cast(
+            "bigint"
+        ),
+    }
+
+
+def token_counts_sql() -> str:
+    return (
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        f"CAST(len({tokens_sql()}) AS BIGINT) AS n_ws_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stopword stats / quality score (integer basis points only)
+# ---------------------------------------------------------------------------
+
+def _stop_count(tok: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+
+
+def quality_columns(col: str | Column) -> dict[str, Column]:
+    """Deterministic quality heuristics: counts + ratios in basis points.
+
+    quality_bp = min(10000, 2*stop_bp + 10*min(n_tokens, 500)):
+    stopword-bearing, reasonably long docs score high — a standard
+    cheap pretraining-quality prior, in exact integer arithmetic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    n_tok = F.size(tok).cast("bigint")
+    n_stop = _stop_count(tok, STOPWORDS["en"]).cast("bigint")
+    n_punct = F.size(F.expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")).cast("bigint")
+    stop_bp = F.floor(F.lit(10000) * n_stop / F.greatest(n_tok, F.lit(1))).cast("bigint")
+    punct_bp = F.floor(
+        F.lit(10000) * n_punct / F.greatest(F.length(c).cast("bigint"), F.lit(1))
+    ).cast("bigint")
+    quality_bp = F.least(
+        F.lit(10000).cast("bigint"),
+        F.lit(2) * stop_bp + F.lit(10) * F.least(n_tok, F.lit(500)),
+    ).cast("bigint")
+    return {
+        "n_tokens": n_tok,
+        "n_stopwords": n_stop,
+        "stop_bp": stop_bp,
+        "punct_bp": punct_bp,
+        "quality_bp": quality_bp,
+    }
+
+
+def quality_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    tok = tokens_sql()
+    return f"""
+      CAST(len({tok}) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter({tok}, t -> list_contains([{sw}], t))) AS BIGINT) AS n_stopwords,
+      CAST(floor(10000.0 * len(list_filter({tok}, t -> list_contains([{sw}], t)))
+                 / greatest(len({tok}), 1)) AS BIGINT) AS stop_bp,
+      CAST(floor(10000.0 * len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                 / greatest(length(text), 1)) AS BIGINT) AS punct_bp,
+      least(CAST(10000 AS BIGINT),
+            2 * CAST(floor(10000.0 * len(list_filter({tok}, t -> list_contains([{sw}], t)))
+                           / greatest(len({tok}), 1)) AS BIGINT)
+            + 10 * least(CAST(len({tok}) AS BIGINT), 500)) AS quality_bp
+    """
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-profile argmax + CJK char class)
+# ---------------------------------------------------------------------------
+
+def lang_id(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    counts = {lang: _stop_count(tok, words) for lang, words in STOPWORDS.items()}
+    m = F.greatest(*counts.values())
+    pred = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        pred = F.when(counts[lang] == m, F.lit(lang)).otherwise(pred)
+    return F.when(c.rlike(CJK_RE), F.lit("zh")).otherwise(pred)
+
+
+def lang_id_sql(col: str = "text") -> str:
+    tok = tokens_sql(col)
+
+    def cnt(lang: str) -> str:
+        sw = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter({tok}, t -> list_contains([{sw}], t)))"
+
+    m = f"greatest({', '.join(cnt(lg) for lg in LANG_ORDER)})"
+    whens = "\n".join(
+        f"WHEN {cnt(lang)} = {m} THEN '{lang}'" for lang in LANG_ORDER[:-1]
+    )
+    return f"""CASE WHEN regexp_matches({col}, '{CJK_RE}') THEN 'zh'
+        {whens} ELSE '{LANG_ORDER[-1]}' END"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprint (rolling min-hash over shingle windows)
+# ---------------------------------------------------------------------------
+
+def fingerprint(col: str | Column, k: int = SHINGLE_K, w: int = WINNOW_W) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): md5 each k-shingle, take
+    the min hash of every w-length window, dedup+sort the selected
+    hashes, fingerprint = md5 of their concatenation. Pure per-row
+    array ops — no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    sh = shingles(tokens(c), k)
+    hashes = F.transform(sh, F.md5)
+    n_win = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hashes, j, w))
+    )
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(mins)), ","))
+
+
+def fingerprint_sql(col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W) -> str:
+    tok = tokens_sql(col)
+    sh = shingles_sql(tok, k)
+    hashes = f"list_transform({sh}, s -> md5(s))"
+    return (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"list_transform(generate_series(1, greatest(len({hashes}) - {w - 1}, 1)), "
+        f"j -> list_min(({hashes})[j:j+{w - 1}])))), ','))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures + LSH band keys (per-row; the join lives in dedup.py)
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col: str | Column, n: int = MINHASH_N) -> Column:
+    """n md5-seeded minhashes over k-word shingles, as an array of hex
+    strings. min over lexicographic hex order == min over the uniform
+    128-bit hash — a valid minwise family, identical in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    sh = shingles(tokens(c))
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x))))
+            for s in range(n)
+        ]
+    )
+
+
+def minhash_signature_sql(col: str = "text", n: int = MINHASH_N) -> str:
+    return minhash_sig_from_shingles_sql(shingles_sql(tokens_sql(col)), n)
+
+
+def minhash_sig_from_shingles_sql(sh: str, n: int = MINHASH_N) -> str:
+    """Signature from an existing shingle-array SQL expression."""
+    parts = ", ".join(
+        f"list_min(list_transform({sh}, x -> md5('{s}:' || x)))" for s in range(n)
+    )
+    return f"[{parts}]"
+
+
+def band_keys(sig: Column, bands: int = MINHASH_BANDS, n: int = MINHASH_N) -> Column:
+    """Array of LSH band keys: md5(band_idx | rows of the signature)."""
+    rows = n // bands
+    keys = []
+    for b in range(bands):
+        parts = [F.lit(str(b))] + [
+            F.element_at(sig, b * rows + r + 1) for r in range(rows)
+        ]
+        keys.append(F.md5(F.concat_ws("|", *parts)))
+    return F.array(*keys)
+
+
+def band_keys_sql(sig: str, bands: int = MINHASH_BANDS, n: int = MINHASH_N) -> str:
+    rows = n // bands
+    keys = ", ".join(
+        "md5('{b}|' || {parts})".format(
+            b=b,
+            parts=" || '|' || ".join(f"({sig})[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"[{keys}]"
+
+
+# ---------------------------------------------------------------------------
+# simhash (32-bit, md5-derived per-token hashes, ±1 bit votes)
+# ---------------------------------------------------------------------------
+
+def simhash(col: str | Column) -> Column:
+    """32-bit simhash: per token take the first 8 hex chars of md5 as a
+    32-bit value; each bit votes +1/-1 weighted by token multiplicity;
+    simhash bit = 1 where the vote sum is positive. Built as nested
+    higher-order functions — per-row, shuffle-free."""
+    c = F.col(col) if isinstance(col, str) else col
+    # hex nibbles per token, as int array [d1..d8] (d1 = high nibble)
+    hexes = F.transform(
+        tokens(c),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.instr(F.lit(_HEX), F.substring(F.md5(t), 1, 8).substr(j, F.lit(1)))
+            - 1,
+        ),
+    )
+    # bit b of token value = (digit[8 - b//4] >> (b%4)) & 1
+    def vote(b: int) -> Column:
+        j = 8 - b // 4
+        s = b % 4
+        return F.aggregate(
+            hexes,
+            F.lit(0),
+            lambda acc, d: acc
+            + F.when(
+                F.shiftright(F.element_at(d, j), s).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for b in range(32):
+        out = out + F.when(vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def simhash_sql(table: str, id_col: str = "doc_id", col: str = "text") -> str:
+    """DuckDB twin via explode + group (same result, different shape)."""
+    bit_sums = ",\n        ".join(
+        "SUM(CASE WHEN (strpos('{hx}', substr(h8, {j}, 1)) - 1) >> {s} & 1 = 1 "
+        "THEN 1 ELSE -1 END) AS s{b}".format(hx=_HEX, j=8 - b // 4, s=b % 4, b=b)
+        for b in range(32)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32)
+    )
+    return f"""
+      SELECT {id_col}, {combine} AS simhash
+      FROM (
+        SELECT {id_col},
+        {bit_sums}
+        FROM (
+          SELECT {id_col}, substr(md5(t.tok), 1, 8) AS h8
+          FROM {table}, unnest({tokens_sql(col)}) AS t(tok)
+        )
+        GROUP BY {id_col}
+      )
+    """

@@ -1,0 +1,231 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five families, each the idiomatic distributed shape (the reference has
+only a cursor ``>=`` late-event gate, ``/root/reference/integrations/
+python/source_okta.py:91-113`` — none of these exist there; SURVEY.md
+§2.6):
+
+- **exact**        — hash-groupBy on md5(text); one shuffle on the hash.
+- **MinHash+LSH**  — per-row signatures (narrow), explode band keys,
+  shuffle once on band key, candidate pairs from bucket self-join,
+  exact-Jaccard verification via a shingle inverted index. This is the
+  standard shape that scales to 10^12 docs: no all-pairs anywhere; work
+  is proportional to colliding candidates only.
+- **SimHash**      — per-row 32-bit signature (narrow), band join on
+  8-bit sub-bands, Hamming-distance verification with ``bit_count``.
+- **n-gram Jaccard** — inverted index on shingles (stop-shingles
+  dropped) → pair intersection counts → exact Jaccard filter.
+- **embedding**    — exact/near dup via md5 of the int-quantized vector
+  (hash-groupBy; no pairwise math at all).
+
+All similarity arithmetic is integer (intersection/union counts,
+quantized vectors, md5 hex), so the DuckDB oracle reproduces results
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vaero_spark.functions.text import (
+    MINHASH_BANDS,
+    MINHASH_N,
+    band_keys,
+    minhash_signature,
+    shingles,
+    simhash,
+    tokens,
+)
+from vaero_spark.sources.corpus import quantized
+
+# Shingles present in more than this fraction of docs are "stop
+# shingles": they connect everything to everything (quadratic pair
+# blowup) while carrying no dedup signal. Standard inverted-index guard.
+STOP_SHINGLE_MAX_DF = 0.20
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per distinct text (hash-groupBy — one shuffle
+    on md5(text), never on the full text bytes)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "text_md5", "n_copies")
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(tokens(text_col)))).alias("shingle")
+    )
+
+
+def pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs (id_a, id_b) using the shingle
+    inverted index ``sh`` = (doc_id, shingle) distinct. Integer output:
+    (id_a, id_b, inter, union_n)."""
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, (cand.id_b == b.id_b) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("id_a", cand.id_b)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b2"), F.col("n_sh").alias("n_b")),
+            F.col("id_b") == F.col("id_b2"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_n"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 50,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Plan shape: narrow signature computation → explode 4 band keys →
+    shuffle on band key (the only data-sized shuffle) → bucket
+    self-join → verify. Hot buckets are bounded by banding (a bucket
+    only holds docs agreeing on 3 minhashes).
+    """
+    sig = df.select(
+        F.col(id_col).alias("doc_id"), minhash_signature(text_col).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_N)).alias("bk")
+    )
+    left = bands.select(F.col("doc_id").alias("id_a"), "bk")
+    right = bands.select(F.col("doc_id").alias("id_b"), F.col("bk").alias("bk_b"))
+    cand = (
+        left.join(right, (F.col("bk") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = doc_shingles(df, id_col, text_col)
+    verified = pair_jaccard(cand, sh)
+    return verified.filter(
+        F.lit(100) * F.col("inter") >= F.lit(min_jaccard_pct) * F.col("union_n")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 50,
+    max_df_frac: float = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """All near-dup pairs by exact n-gram Jaccard, via the shingle
+    inverted index (never all-pairs): docs sharing ≥1 informative
+    shingle are candidates; stop-shingles (document frequency above
+    ``max_df_frac``) are dropped from candidate *generation* but kept
+    for the exact verification, so the Jaccard value is unbiased."""
+    sh = doc_shingles(df, id_col, text_col)
+    n_docs = df.select(id_col).distinct().count()
+    max_df = max(int(n_docs * max_df_frac), 1)
+    informative = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh_i = sh.join(informative, "shingle")
+    a = sh_i.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh_i.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    cand = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = pair_jaccard(cand, sh)
+    return verified.filter(
+        F.lit(100) * F.col("inter") >= F.lit(min_jaccard_pct) * F.col("union_n")
+    )
+
+
+def simhash_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — the per-row 32-bit signature."""
+    return df.select(F.col(id_col).alias("doc_id"), simhash(text_col).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
+
+    Candidate generation: split the 32-bit signature into 4 bytes; by
+    pigeonhole, any pair within Hamming 3 agrees on ≥1 byte — join on
+    (byte_idx, byte_value), then verify with bit_count(xor)."""
+    sh = simhash_docs(df, id_col, text_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band")
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col("band").alias("band_b")
+    )
+    cand = (
+        a.join(b, (F.col("band") == F.col("band_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_dup_groups(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact-duplicate vectors via md5 of the int-quantized embedding —
+    a hash-groupBy, no pairwise math, fully scalable."""
+    sig = F.md5(
+        F.array_join(F.transform(quantized(vec_col), lambda x: x.cast("string")), ",")
+    )
+    return (
+        df.select(F.col("vec_id"), sig.alias("vec_sig"))
+        .groupBy("vec_sig")
+        .agg(
+            F.min("vec_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("vec_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("keep_id", "n_copies", "members")
+    )

@@ -139,24 +139,33 @@ def run_streaming_fanout(
     checkpoint_dir: str,
     trigger_seconds: float | None = None,
     query_name: str = "vaero_fanout",
+    common_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingPipeline:
     """Multi-sink fan-out inside one query: per epoch, persist the batch
     once, apply each branch's (batch-mode) transform chain, write to its
     sink idempotently keyed by (epoch, sink). This is the Spark shape of
     the reference's branch construct (``transformNode.go:36-62``) with
-    exactly-once instead of fire-and-forget."""
+    exactly-once instead of fire-and-forget.
+
+    ``common_fn`` is the shared transform prefix (the reference's single
+    transformNode feeding every sink, ``transformNode.go:58-62``): it is
+    applied ONCE per epoch and its *output* is persisted, so N branches
+    never recompute the expensive chain — with regex-heavy transforms
+    this halves (or better) per-epoch CPU vs putting the prefix inside
+    each branch."""
     sinks = {name: sink_factory(name) for name in branch_fns}
 
     def fan_out(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.persist()
+        shared = common_fn(batch_df) if common_fn else batch_df
+        shared.persist()
         try:
             for name, fn in branch_fns.items():
-                out = fn(batch_df)
+                out = fn(shared)
                 sinks[name].write(out, epoch_id) if hasattr(sinks[name], "write") else sinks[
                     name
                 ].foreach_batch()(out, epoch_id)
         finally:
-            batch_df.unpersist()
+            shared.unpersist()
 
     writer = (
         source_stream.writeStream.queryName(query_name)

@@ -57,3 +57,11 @@ class MetricsListener(StreamingQueryListener):
     def _append(self, rec: dict) -> None:
         with open(self.path, "a") as f:
             f.write(json.dumps(rec, default=str) + "\n")
+
+
+def attach_metrics_listener(spark, out_dir: str | None = None) -> MetricsListener:
+    """Register a MetricsListener on the session; metrics land in
+    ``out_dir`` (default: ``$PWD/vaero_metrics``)."""
+    listener = MetricsListener(out_dir or os.path.join(os.getcwd(), "vaero_metrics"))
+    spark.streams.addListener(listener)
+    return listener
