@@ -206,6 +206,85 @@ def q_top_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# streaming pipelines surfaced through the correctness gate: each runs a
+# REAL StreamingQuery (file-stream tap, checkpoint, exactly-once sinks,
+# availableNow-style drain) and returns the committed output — the DuckDB
+# oracle then verifies the streamed rows bit-for-bit, which is the
+# north-rule parity claim ("same output rows for the same input stream").
+# ---------------------------------------------------------------------------
+
+def _stream_transcripts(spark, sf_dir, branch_fns, common_fn=None):
+    import tempfile
+
+    from vaero_spark.sinks.writers import ExactlyOnceParquetSink
+    from vaero_spark.sources.transcripts import load_transcripts, transcripts_stream
+    from vaero_spark.streaming.engine import run_streaming_fanout
+
+    work = tempfile.mkdtemp(prefix="vaero_q_stream_")
+    inp = f"{work}/in"
+    load_transcripts(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(inp)
+    src = transcripts_stream(spark, inp, max_files_per_trigger=4)  # >1 epoch
+    sinks = {n: ExactlyOnceParquetSink(f"{work}/{n}") for n in branch_fns}
+    pipe = run_streaming_fanout(
+        spark, src, branch_fns, lambda n: sinks[n], f"{work}/ckpt", common_fn=common_fn
+    )
+    pipe.process_all()
+    pipe.stop()
+    outs = [s.read_committed(spark).drop("prefix", "epoch") for s in sinks.values()]
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def q_stream_pipeline(spark, sf_dir):
+    """Full streaming tap→transform→route→sink pipeline, drained through
+    checkpointed exactly-once parquet sinks; output must match the pure
+    SQL oracle — streamed rows == batch rows, the parity invariant."""
+    def common(df):
+        df = TR.mask(df, "text", EMAIL_RE, "<EMAIL>")
+        df = TR.parse_regexp(df, "text", "k=(?<kval>[0-9]+)")
+        return df
+
+    branches = {
+        "tools": lambda b: TR.add(b.filter(F.col("role") == "tool"), "route", "tools"),
+        "rest": lambda b: TR.add(b.filter(F.col("role") != "tool"), "route", "rest"),
+    }
+    return _stream_transcripts(spark, sf_dir, branches, common_fn=common)
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dropDuplicates over the duped fixture: state-store dedup
+    across micro-batches (a duplicate arriving in a later epoch than its
+    original must still be dropped)."""
+    import tempfile
+
+    from vaero_spark.sinks.writers import ExactlyOnceParquetSink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_sdedup_")
+    inp = f"{work}/in"
+    load_transcripts_with_dupes(spark, sf_dir).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = ExactlyOnceParquetSink(f"{work}/out")
+    q = (
+        src.dropDuplicates(["conv_id", "turn_idx"])
+        .writeStream.option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sink.read_committed(spark).drop("prefix", "epoch")
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings / media)
 # ---------------------------------------------------------------------------
 
@@ -237,7 +316,7 @@ def q_txt_langid(spark, sf_dir):
 def q_txt_fingerprint(spark, sf_dir):
     """Winnowing document fingerprint (Schleimer et al. SIGMOD'03)."""
     d = CORPUS.load_documents(spark, sf_dir)
-    return d.select("doc_id", TXT.fingerprint("text").alias("fingerprint"))
+    return TXT.fingerprint_df(d, "text").select("doc_id", "fingerprint")
 
 
 def q_dedup_exact_docs(spark, sf_dir):
@@ -329,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pricing": q_pricing,
         "q_nation_revenue": q_nation_revenue,
         "q_top_customers": q_top_customers,
+        "stream_pipeline": q_stream_pipeline,
+        "stream_dedup": q_stream_dedup,
         "txt_tokens": q_txt_tokens,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
@@ -566,6 +647,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, spend_cents,
                    CAST(ROW_NUMBER() OVER (ORDER BY spend_cents DESC, o_custkey) AS INTEGER) AS rk
             FROM per_cust QUALIFY rk <= 10""",
+        "stream_pipeline": f"""{_T},
+            tx AS (
+              SELECT conv_id, turn_idx, role,
+                     regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS text,
+                     tool, ts,
+                     CASE WHEN regexp_matches(text, 'k=([0-9]+)')
+                          THEN regexp_extract(text, 'k=([0-9]+)', 1) END AS kval
+              FROM transcripts
+            )
+            SELECT *, 'tools' AS route FROM tx WHERE role = 'tool'
+            UNION ALL
+            SELECT *, 'rest' AS route FROM tx WHERE role != 'tool'""",
+        "stream_dedup": f"{_TD} SELECT DISTINCT * FROM transcripts_dup",
         "txt_tokens": f"SELECT doc_id, {TXT.token_counts_sql()} FROM documents",
         "txt_quality": f"SELECT doc_id, {TXT.quality_sql()} FROM documents",
         "txt_langid": f"""

@@ -38,9 +38,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR_DEFAULT = "/root/testdata/sf0.1"
 SCALING_CORES = (8, 32)  # N and 4N worker threads
-REPLICATION = 200  # sf0.1 events x200 = 20M turns for the throughput job
-INPUT_FILES = 192  # with maxFilesPerTrigger=64 => 3 micro-batches
-FILES_PER_TRIGGER = 64
+REPLICATION = 100  # sf0.1 events x100 = 10M turns for the throughput job
+INPUT_FILES = 96  # with maxFilesPerTrigger=32 => 3 micro-batches
+FILES_PER_TRIGGER = 32
 BENCH_TMP = os.path.join(tempfile.gettempdir(), "vaero_bench")
 
 
@@ -198,6 +198,9 @@ def run_scaling(sf_dir: str) -> dict:
     input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
     results = {}
     for cores in SCALING_CORES:
+        # flush dirty pages from the previous level's sink writes so its
+        # writeback doesn't steal bandwidth from this level's timed run
+        subprocess.run("sync", shell=True)
         proc = subprocess.run(
             [sys.executable, __file__, "--throughput", "--cores", str(cores),
              "--input", input_dir, "--rows", str(n_rows)],

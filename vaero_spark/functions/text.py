@@ -189,22 +189,42 @@ def lang_id_sql(col: str = "text") -> str:
 
 
 # ---------------------------------------------------------------------------
+# materialized array columns
+#
+# PERFORMANCE RULE for every op below: expressions referenced inside
+# higher-order-function lambdas are RE-EVALUATED per element — inlining
+# `shingles(tokens(text))` into a per-window lambda turns a linear scan
+# into O(n²) per row (measured 189 s for 500 docs). So multi-use arrays
+# are materialized as real columns first; CollapseProject keeps a
+# non-cheap multi-referenced alias as its own projection (SPARK-36718),
+# and each lambda then slices an attribute, not an expression tree.
+# ---------------------------------------------------------------------------
+
+def with_shingle_arrays(df, col: str = "text", k: int = SHINGLE_K):
+    """df + materialized ``_tok`` (tokens) and ``_sh`` (k-shingles)."""
+    df = df.withColumn("_tok", tokens(col))
+    return df.withColumn("_sh", shingles(F.col("_tok"), k))
+
+
+# ---------------------------------------------------------------------------
 # winnowing document fingerprint (rolling min-hash over shingle windows)
 # ---------------------------------------------------------------------------
 
-def fingerprint(col: str | Column, k: int = SHINGLE_K, w: int = WINNOW_W) -> Column:
+def fingerprint_df(
+    df, col: str = "text", out: str = "fingerprint", k: int = SHINGLE_K, w: int = WINNOW_W
+):
     """Winnowing (Schleimer et al., SIGMOD'03): md5 each k-shingle, take
     the min hash of every w-length window, dedup+sort the selected
     hashes, fingerprint = md5 of their concatenation. Pure per-row
-    array ops — no shuffle."""
-    c = F.col(col) if isinstance(col, str) else col
-    sh = shingles(tokens(c), k)
-    hashes = F.transform(sh, F.md5)
-    n_win = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    array ops — no shuffle; linear per row via materialized arrays."""
+    df = with_shingle_arrays(df, col, k)
+    df = df.withColumn("_hash", F.transform(F.col("_sh"), F.md5))
+    n_win = F.greatest(F.size(F.col("_hash")) - F.lit(w - 1), F.lit(1))
     mins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(hashes, j, w))
+        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(F.col("_hash"), j, w))
     )
-    return F.md5(F.array_join(F.array_sort(F.array_distinct(mins)), ","))
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(mins)), ","))
+    return df.withColumn(out, fp).drop("_tok", "_sh", "_hash")
 
 
 def fingerprint_sql(col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W) -> str:
@@ -222,18 +242,21 @@ def fingerprint_sql(col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W) ->
 # minhash signatures + LSH band keys (per-row; the join lives in dedup.py)
 # ---------------------------------------------------------------------------
 
-def minhash_signature(col: str | Column, n: int = MINHASH_N) -> Column:
-    """n md5-seeded minhashes over k-word shingles, as an array of hex
-    strings. min over lexicographic hex order == min over the uniform
-    128-bit hash — a valid minwise family, identical in both engines."""
-    c = F.col(col) if isinstance(col, str) else col
-    sh = shingles(tokens(c))
-    return F.array(
+def minhash_df(df, col: str = "text", out: str = "sig", n: int = MINHASH_N):
+    """df + ``out``: n md5-seeded minhashes over k-word shingles, as an
+    array of hex strings. min over lexicographic hex order == min over
+    the uniform 128-bit hash — a valid minwise family, identical in both
+    engines. Shingles materialized once (see the performance rule)."""
+    df = with_shingle_arrays(df, col)
+    sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x))))
+            F.array_min(
+                F.transform(F.col("_sh"), lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))
+            )
             for s in range(n)
         ]
     )
+    return df.withColumn(out, sig).drop("_tok", "_sh")
 
 
 def minhash_signature_sql(col: str = "text", n: int = MINHASH_N) -> str:
@@ -276,27 +299,34 @@ def band_keys_sql(sig: str, bands: int = MINHASH_BANDS, n: int = MINHASH_N) -> s
 # simhash (32-bit, md5-derived per-token hashes, ±1 bit votes)
 # ---------------------------------------------------------------------------
 
-def simhash(col: str | Column) -> Column:
-    """32-bit simhash: per token take the first 8 hex chars of md5 as a
-    32-bit value; each bit votes +1/-1 weighted by token multiplicity;
-    simhash bit = 1 where the vote sum is positive. Built as nested
-    higher-order functions — per-row, shuffle-free."""
-    c = F.col(col) if isinstance(col, str) else col
+def simhash_df(df, col: str = "text", out: str = "simhash"):
+    """df + ``out``: 32-bit simhash — per token take the first 8 hex
+    chars of md5 as a 32-bit value; each bit votes +1/-1 weighted by
+    token multiplicity; simhash bit = 1 where the vote sum is positive.
+    Per-row, shuffle-free; md5 computed exactly once per token via
+    materialized columns (see the performance rule)."""
+    df = df.withColumn("_tok", tokens(col))
+    df = df.withColumn(
+        "_h8", F.transform(F.col("_tok"), lambda t: F.substring(F.md5(t), 1, 8))
+    )
     # hex nibbles per token, as int array [d1..d8] (d1 = high nibble)
-    hexes = F.transform(
-        tokens(c),
-        lambda t: F.transform(
-            F.sequence(F.lit(1), F.lit(8)),
-            lambda j: F.instr(F.lit(_HEX), F.substring(F.md5(t), 1, 8).substr(j, F.lit(1)))
-            - 1,
+    df = df.withColumn(
+        "_d",
+        F.transform(
+            F.col("_h8"),
+            lambda h: F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: F.instr(F.lit(_HEX), h.substr(j, F.lit(1))) - 1,
+            ),
         ),
     )
+
     # bit b of token value = (digit[8 - b//4] >> (b%4)) & 1
     def vote(b: int) -> Column:
         j = 8 - b // 4
         s = b % 4
         return F.aggregate(
-            hexes,
+            F.col("_d"),
             F.lit(0),
             lambda acc, d: acc
             + F.when(
@@ -304,12 +334,12 @@ def simhash(col: str | Column) -> Column:
             ).otherwise(F.lit(-1)),
         )
 
-    out = F.lit(0).cast("bigint")
+    sh = F.lit(0).cast("bigint")
     for b in range(32):
-        out = out + F.when(vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+        sh = sh + F.when(vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return out
+    return df.withColumn(out, sh).drop("_tok", "_h8", "_d")
 
 
 def simhash_sql(table: str, id_col: str = "doc_id", col: str = "text") -> str:

@@ -32,9 +32,9 @@ from vaero_spark.functions.text import (
     MINHASH_BANDS,
     MINHASH_N,
     band_keys,
-    minhash_signature,
+    minhash_df,
     shingles,
-    simhash,
+    simhash_df,
     tokens,
 )
 from vaero_spark.sources.corpus import quantized
@@ -104,8 +104,8 @@ def minhash_lsh_pairs(
     self-join → verify. Hot buckets are bounded by banding (a bucket
     only holds docs agreeing on 3 minhashes).
     """
-    sig = df.select(
-        F.col(id_col).alias("doc_id"), minhash_signature(text_col).alias("sig")
+    sig = minhash_df(df, text_col, out="sig").select(
+        F.col(id_col).alias("doc_id"), "sig"
     )
     bands = sig.select(
         "doc_id", F.explode(band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_N)).alias("bk")
@@ -161,7 +161,9 @@ def ngram_jaccard_pairs(
 
 def simhash_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — the per-row 32-bit signature."""
-    return df.select(F.col(id_col).alias("doc_id"), simhash(text_col).alias("simhash"))
+    return simhash_df(df, text_col, out="simhash").select(
+        F.col(id_col).alias("doc_id"), "simhash"
+    )
 
 
 def simhash_pairs(
