@@ -316,7 +316,7 @@ def q_txt_langid(spark, sf_dir):
 def q_txt_fingerprint(spark, sf_dir):
     """Winnowing document fingerprint (Schleimer et al. SIGMOD'03)."""
     d = CORPUS.load_documents(spark, sf_dir)
-    return TXT.fingerprint_df(d, "text").select("doc_id", "fingerprint")
+    return TXT.fingerprint_agg(d, "doc_id", "text")
 
 
 def q_dedup_exact_docs(spark, sf_dir):

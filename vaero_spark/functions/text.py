@@ -210,21 +210,36 @@ def with_shingle_arrays(df, col: str = "text", k: int = SHINGLE_K):
 # winnowing document fingerprint (rolling min-hash over shingle windows)
 # ---------------------------------------------------------------------------
 
-def fingerprint_df(
-    df, col: str = "text", out: str = "fingerprint", k: int = SHINGLE_K, w: int = WINNOW_W
+def fingerprint_agg(
+    df, id_col: str = "doc_id", col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W
 ):
-    """Winnowing (Schleimer et al., SIGMOD'03): md5 each k-shingle, take
-    the min hash of every w-length window, dedup+sort the selected
-    hashes, fingerprint = md5 of their concatenation. Pure per-row
-    array ops — no shuffle; linear per row via materialized arrays."""
-    df = with_shingle_arrays(df, col, k)
-    df = df.withColumn("_hash", F.transform(F.col("_sh"), F.md5))
-    n_win = F.greatest(F.size(F.col("_hash")) - F.lit(w - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(F.col("_hash"), j, w))
+    """(id, ..., text) → (id, fingerprint): winnowing (Schleimer et al.,
+    SIGMOD'03) — md5 each k-shingle, take the min hash of every w-length
+    window, dedup+sort the selected hashes, fingerprint = md5 of their
+    concatenation.
+
+    posexplode + window-min + aggregate shape (flat expressions; see
+    :func:`minhash_agg` for why nested array lambdas are avoided). The
+    per-doc window is tiny, so the window pass shares the single shuffle
+    on the id."""
+    from pyspark.sql import Window
+
+    base = with_shingle_arrays(df, col, k).select(
+        F.col(id_col),
+        F.size("_sh").alias("_n_sh"),
+        F.posexplode("_sh").alias("_pos", "_shingle"),
     )
-    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(mins)), ","))
-    return df.withColumn(out, fp).drop("_tok", "_sh", "_hash")
+    rows = base.withColumn("_h", F.md5("_shingle"))
+    win = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    rows = rows.withColumn("_winmin", F.min("_h").over(win))
+    kept = rows.filter(
+        F.col("_pos") < F.greatest(F.col("_n_sh") - F.lit(w - 1), F.lit(1))
+    )
+    return kept.groupBy(id_col).agg(
+        F.md5(F.array_join(F.array_sort(F.collect_set("_winmin")), ",")).alias(
+            "fingerprint"
+        )
+    )
 
 
 def fingerprint_sql(col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W) -> str:
@@ -242,21 +257,26 @@ def fingerprint_sql(col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W) ->
 # minhash signatures + LSH band keys (per-row; the join lives in dedup.py)
 # ---------------------------------------------------------------------------
 
-def minhash_df(df, col: str = "text", out: str = "sig", n: int = MINHASH_N):
-    """df + ``out``: n md5-seeded minhashes over k-word shingles, as an
+def minhash_agg(sh_df, id_col: str = "doc_id", n: int = MINHASH_N):
+    """(id, shingle) rows → (id, sig): n md5-seeded minhashes as an
     array of hex strings. min over lexicographic hex order == min over
     the uniform 128-bit hash — a valid minwise family, identical in both
-    engines. Shingles materialized once (see the performance rule)."""
-    df = with_shingle_arrays(df, col)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_sh"), lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))
-            )
-            for s in range(n)
-        ]
+    engines.
+
+    Explode+aggregate shape (one shuffle on id, map-side combine), NOT
+    nested array lambdas: besides being the standard scale shape, deeply
+    nested higher-order functions (transform-inside-array-min) were
+    observed to return wrong md5/min values for some rows in long-lived
+    Spark 4.1.2 sessions — flat aggregate expressions are immune."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"_m{s}")
+        for s in range(n)
+    ]
+    return (
+        sh_df.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[F.col(f"_m{s}") for s in range(n)]).alias("sig"))
     )
-    return df.withColumn(out, sig).drop("_tok", "_sh")
 
 
 def minhash_signature_sql(col: str = "text", n: int = MINHASH_N) -> str:
@@ -299,47 +319,35 @@ def band_keys_sql(sig: str, bands: int = MINHASH_BANDS, n: int = MINHASH_N) -> s
 # simhash (32-bit, md5-derived per-token hashes, ±1 bit votes)
 # ---------------------------------------------------------------------------
 
-def simhash_df(df, col: str = "text", out: str = "simhash"):
-    """df + ``out``: 32-bit simhash — per token take the first 8 hex
-    chars of md5 as a 32-bit value; each bit votes +1/-1 weighted by
-    token multiplicity; simhash bit = 1 where the vote sum is positive.
-    Per-row, shuffle-free; md5 computed exactly once per token via
-    materialized columns (see the performance rule)."""
-    df = df.withColumn("_tok", tokens(col))
-    df = df.withColumn(
-        "_h8", F.transform(F.col("_tok"), lambda t: F.substring(F.md5(t), 1, 8))
-    )
-    # hex nibbles per token, as int array [d1..d8] (d1 = high nibble)
-    df = df.withColumn(
-        "_d",
-        F.transform(
-            F.col("_h8"),
-            lambda h: F.transform(
-                F.sequence(F.lit(1), F.lit(8)),
-                lambda j: F.instr(F.lit(_HEX), h.substr(j, F.lit(1))) - 1,
-            ),
-        ),
-    )
+def simhash_agg(df, id_col: str = "doc_id", col: str = "text"):
+    """(id, ..., text) → (id, simhash): 32-bit simhash — per token take
+    the first 8 hex chars of md5 as a 32-bit value; each bit votes +1/-1
+    weighted by token multiplicity; simhash bit = 1 where the vote sum
+    is positive.
 
-    # bit b of token value = (digit[8 - b//4] >> (b%4)) & 1
-    def vote(b: int) -> Column:
+    Explode+aggregate shape (flat expressions, one shuffle with map-side
+    combine) — see :func:`minhash_agg` for why nested array lambdas are
+    avoided. Matches the DuckDB oracle's shape exactly."""
+    tok = df.select(F.col(id_col), F.explode(tokens(col)).alias("_t"))
+    tok = tok.withColumn("_h8", F.substring(F.md5("_t"), 1, 8))
+
+    # bit b of token value = (nibble[8 - b//4] >> (b%4)) & 1
+    def bit(b: int) -> Column:
         j = 8 - b // 4
         s = b % 4
-        return F.aggregate(
-            F.col("_d"),
-            F.lit(0),
-            lambda acc, d: acc
-            + F.when(
-                F.shiftright(F.element_at(d, j), s).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
+        d = F.instr(F.lit(_HEX), F.substring(F.col("_h8"), j, 1)) - 1
+        return F.shiftright(d, s).bitwiseAND(F.lit(1))
 
+    votes = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"_v{b}") for b in range(32)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
     sh = F.lit(0).cast("bigint")
     for b in range(32):
-        sh = sh + F.when(vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+        sh = sh + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return df.withColumn(out, sh).drop("_tok", "_h8", "_d")
+    return agg.select(F.col(id_col), sh.alias("simhash"))
 
 
 def simhash_sql(table: str, id_col: str = "doc_id", col: str = "text") -> str:

@@ -32,9 +32,9 @@ from vaero_spark.functions.text import (
     MINHASH_BANDS,
     MINHASH_N,
     band_keys,
-    minhash_df,
+    minhash_agg,
     shingles,
-    simhash_df,
+    simhash_agg,
     tokens,
 )
 from vaero_spark.sources.corpus import quantized
@@ -104,9 +104,11 @@ def minhash_lsh_pairs(
     self-join → verify. Hot buckets are bounded by banding (a bucket
     only holds docs agreeing on 3 minhashes).
     """
-    sig = minhash_df(df, text_col, out="sig").select(
-        F.col(id_col).alias("doc_id"), "sig"
-    )
+    # one shingle inverted index feeds BOTH the signatures and the
+    # exact-Jaccard verification — persist the diamond root so its
+    # (expensive) construction runs once
+    sh = doc_shingles(df, id_col, text_col).persist()
+    sig = minhash_agg(sh, "doc_id", MINHASH_N)
     bands = sig.select(
         "doc_id", F.explode(band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_N)).alias("bk")
     )
@@ -117,7 +119,6 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = doc_shingles(df, id_col, text_col)
     verified = pair_jaccard(cand, sh)
     return verified.filter(
         F.lit(100) * F.col("inter") >= F.lit(min_jaccard_pct) * F.col("union_n")
@@ -136,7 +137,7 @@ def ngram_jaccard_pairs(
     shingle are candidates; stop-shingles (document frequency above
     ``max_df_frac``) are dropped from candidate *generation* but kept
     for the exact verification, so the Jaccard value is unbiased."""
-    sh = doc_shingles(df, id_col, text_col)
+    sh = doc_shingles(df, id_col, text_col).persist()  # shared by 3 consumers
     n_docs = df.select(id_col).distinct().count()
     max_df = max(int(n_docs * max_df_frac), 1)
     informative = (
@@ -160,10 +161,9 @@ def ngram_jaccard_pairs(
 
 
 def simhash_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — the per-row 32-bit signature."""
-    return simhash_df(df, text_col, out="simhash").select(
-        F.col(id_col).alias("doc_id"), "simhash"
-    )
+    """(doc_id, simhash) — the per-doc 32-bit signature."""
+    out = simhash_agg(df, id_col, text_col)
+    return out if id_col == "doc_id" else out.withColumnRenamed(id_col, "doc_id")
 
 
 def simhash_pairs(

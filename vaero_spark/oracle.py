@@ -76,7 +76,9 @@ def _string_form(v: Any) -> str:
 def _go_repl(replace_expr: str) -> str:
     """Go ``$1``/``${name}`` expansion → Python ``\\1``/``\\g<name>``."""
     out = re.sub(r"\$\{(\w+)\}", r"\\g<\1>", replace_expr)
-    out = re.sub(r"\$(\d+)", r"\\\1", out)
+    # \g<N> (not \N): plain \0 is an octal NUL escape in Python repls,
+    # and \10 would parse as group 10 — Go/Java mean group 1 then '0'
+    out = re.sub(r"\$(\d+)", r"\\g<\1>", out)
     out = re.sub(r"\$([A-Za-z_]\w*)", r"\\g<\1>", out)
     return out
 

@@ -63,6 +63,14 @@ class ExactlyOnceParquetSink:
     # anyway — measured ~1.5x slower writes. Flip on for low-cardinality
     # payloads.
     dictionary: bool = False
+    # One shuffle on the prefix before the partitioned write: without it
+    # every task writes a file per prefix it happens to contain
+    # (tasks × prefixes files per epoch — thousands of tiny files whose
+    # per-file Hadoop Configuration setup serializes on a class lock and
+    # whose commit the driver processes one by one). With it, file count
+    # = distinct prefixes. At cluster scale small-files pressure on the
+    # table store makes this the right default too.
+    repartition_by_prefix: bool = True
 
     def write(self, batch_df: DataFrame, epoch_id: int) -> dict:
         marker = os.path.join(self.path, "_epochs", f"{epoch_id}.json")
@@ -93,7 +101,13 @@ class ExactlyOnceParquetSink:
         # before write — cheap, no extra shuffle beyond the partitioner.
         order = [c for c in self.order_cols if c in df.columns]
         epoch_dir = os.path.join(self.path, "data", f"epoch={epoch_id}")
-        writer = df.sortWithinPartitions(*order) if order else df
+        if has_ts and self.repartition_by_prefix:
+            df = df.repartition(F.col("prefix"))
+        writer = (
+            df.sortWithinPartitions(*(["prefix"] if has_ts else []), *order)
+            if order
+            else df
+        )
         w = writer.write.mode("overwrite").option(
             "parquet.enable.dictionary", str(self.dictionary).lower()
         )
@@ -101,9 +115,14 @@ class ExactlyOnceParquetSink:
             w = w.partitionBy("prefix")
         w.parquet(epoch_dir)
 
-        metrics = obs.get
-        total = metrics["total"]
-        kept = metrics.get("kept", total)
+        try:
+            metrics = obs.get
+            total = metrics["total"]
+            kept = metrics.get("kept", total)
+        except Exception:  # noqa: BLE001
+            # a zero-task write (empty branch batch) never materializes
+            # the observation row; the epoch is then empty by definition
+            total = kept = 0
         dropped = total - kept
 
         manifest = {
