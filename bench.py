@@ -115,6 +115,7 @@ def prepare_throughput_input(sf_dir: str, rep: int) -> tuple[str, int]:
     n = spark.read.parquet(out).count()
     with open(done, "w") as fh:
         fh.write(str(n))
+    spark.stop()  # don't leave an idle 32-thread JVM beside the timed runs
     return out, n
 
 
@@ -236,7 +237,7 @@ def run_scaling(sf_dir: str) -> dict:
     disk/page-cache state, and best-of-N is the closest estimator of
     unimpeded per-level capability.
     """
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
     input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
     runs: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
     for _ in range(trials):
@@ -288,6 +289,14 @@ def main() -> None:
 
     t0 = time.perf_counter()
     timings = run_query_bench(sf_dir, cpus)
+    # release the query-bench JVM (32 executor threads + cached blocks)
+    # before the scaling subprocesses — an idle parent SparkSession was
+    # measured to degrade the children's throughput ~3x
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
     scaling = None if args.no_scaling else run_scaling(sf_dir)
     total = round(time.perf_counter() - t0, 3)
 

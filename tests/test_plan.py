@@ -61,3 +61,28 @@ def test_sink_defaults_match_reference():
     assert sink["batch_max_bytes"] == 1_000_000
     assert sink["batch_max_time"] == 300.0
     assert sink["filename_prefix"] == "%Y/%m/%d"
+
+
+def test_option_file_merges_toml(tmp_path):
+    """option_file merges flat TOML key=value into the current node's
+    args (reference: stream.py:90-95, pipelines/config/okta.toml)."""
+    from vaero_spark.dsl import Vaero
+
+    toml = tmp_path / "cfg.toml"
+    toml.write_text('domain = "example.okta.com"\ninterval = 30\n')
+    v = Vaero().source("random").option_file(str(toml))
+    assert v._node.args["domain"] == "example.okta.com"
+    assert v._node.args["interval"] == 30
+
+
+def test_secret_attaches_spec():
+    """secret() attaches a fetch-subprocess spec to the node (reference:
+    stream.py:101-109); execution is driver-side, outside dataflow."""
+    from vaero_spark.dsl import Vaero
+
+    v = Vaero().source("random").secret(
+        "python -m scripts.aws_secrets", ["api_token"], cache_time_seconds=600
+    )
+    s = v._node.args["secret"]
+    assert s["secrets"] == ["api_token"]
+    assert s["cache_time_seconds"] == 600

@@ -186,3 +186,45 @@ class StdoutSink:
                 print(row)
 
         return fn
+
+
+@dataclass
+class HttpStubSink:
+    """Stub HTTP sink — the shape of the reference's datadog/elastic/
+    splunk sinks, which are themselves stubs that log and print
+    (``sink_datadog.go:23-30``, ``sink_elastic.go:23-30``,
+    ``sink_splunk.go:23-30``, each marked ``/* Replace here */``).
+
+    Production wires an HTTP POST per partition batch here; in the
+    sandbox we record per-epoch row counts so routing tests can assert
+    delivery. Exactly-once is the TARGET system's job for HTTP sinks
+    (idempotency keys) — same caveat as the reference."""
+
+    service: str
+    epochs: list = field(default_factory=list)
+
+    def write(self, batch_df: DataFrame, epoch_id: int) -> dict:
+        n = batch_df.count()
+        rec = {"service": self.service, "epoch": epoch_id, "rows": n}
+        self.epochs.append(rec)
+        return rec
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        return lambda df, epoch_id: self.write(df, epoch_id)
+
+
+def default_sink_factory(base_dir: str) -> Callable[[str, object], object]:
+    """Map DSL sink ops to sink implementations (reference sink registry:
+    ``execute/sinkNode.go`` switch + ``integrations/sinks/*``)."""
+
+    def factory(name: str, node=None) -> object:
+        op = getattr(node, "op", None) or name.split("#")[0]
+        if op in ("s3", "parquet", "iceberg", "file"):
+            return ExactlyOnceParquetSink(os.path.join(base_dir, name))
+        if op in ("datadog", "elastic", "splunk", "http"):
+            return HttpStubSink(op)
+        if op == "memory":
+            return MemorySink()
+        return StdoutSink()
+
+    return factory
