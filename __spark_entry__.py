@@ -284,6 +284,100 @@ def q_stream_dedup(spark, sf_dir):
     return sink.read_committed(spark).drop("prefix", "epoch")
 
 
+def q_stream_session(spark, sf_dir):
+    """Streaming session windows (30 min gap) with an event-time
+    watermark, emitted in append mode through an exactly-once sink.
+
+    A single sentinel turn far in the future advances the final
+    watermark past every real session's end, so ALL sessions close and
+    the streamed result equals the batch/oracle result — the time-cap
+    flush semantics (sinkNode.go:242-254) under real watermark
+    mechanics. Watermark delay (60 days) exceeds the corpus time span,
+    so no real row is ever late-dropped regardless of file→batch order.
+    """
+    import datetime
+    import tempfile
+
+    from vaero_spark.operators.windows import session_windows
+    from vaero_spark.sinks.writers import ExactlyOnceParquetSink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_ssess_")
+    t = load_transcripts(spark, sf_dir)
+    mx = t.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", 0, "system", "", "", mx + datetime.timedelta(days=62))],
+        TRANSCRIPTS_SCHEMA,
+    )
+    t.unionByName(sentinel).repartition(8).write.mode("overwrite").parquet(f"{work}/in")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(f"{work}/in")
+    )
+    win = session_windows(src.withWatermark("ts", "60 days"), "30 minutes")
+    sink = ExactlyOnceParquetSink(f"{work}/out", ts_col="min_ts", order_cols=("conv_id",))
+    q = (
+        win.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        sink.read_committed(spark)
+        .drop("epoch", "prefix")
+        .filter(F.col("conv_id") != "__sentinel__")
+    )
+
+
+def q_stream_join(spark, sf_dir):
+    """Stateful stream-stream join: user turns ⋈ tool turns of the same
+    conversation within 4 h, BOTH sides watermarked (state-store rows
+    evicted past watermark − range). Inner joins emit matches eagerly,
+    so the drained streamed result equals the batch range join — checked
+    bit-for-bit against the same oracle as `j_user_tool`. The 60-day
+    watermark exceeds the corpus span: nothing is late-dropped, state
+    eviction mechanics still run."""
+    import tempfile
+
+    from vaero_spark.operators.joins import streaming_user_tool_join
+    from vaero_spark.sinks.writers import ExactlyOnceParquetSink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_sjoin_")
+    load_transcripts(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(
+        f"{work}/in"
+    )
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(f"{work}/in")
+    )
+    joined = streaming_user_tool_join(src, watermark="60 days", max_lag="4 hours")
+    sink = ExactlyOnceParquetSink(
+        f"{work}/out", ts_col="user_ts", order_cols=("conv_id", "user_turn", "tool_turn")
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = sink.read_committed(spark).drop("epoch", "prefix")
+    return out.select(
+        "conv_id",
+        F.col("user_turn").alias("user_turn"),
+        "user_ts",
+        F.col("tool_turn").alias("tool_turn"),
+        "tool_name",
+        "tool_ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings / media)
 # ---------------------------------------------------------------------------
@@ -410,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers": q_top_customers,
         "stream_pipeline": q_stream_pipeline,
         "stream_dedup": q_stream_dedup,
+        "stream_session": q_stream_session,
+        "stream_join": q_stream_join,
         "txt_tokens": q_txt_tokens,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
@@ -545,6 +641,31 @@ _WIN_AGGS = """
 """
 
 
+_J_USER_TOOL_SQL = f"""{_T}
+    SELECT u.conv_id, u.turn_idx AS user_turn, u.ts AS user_ts,
+           t.turn_idx AS tool_turn, t.tool AS tool_name, t.ts AS tool_ts
+    FROM transcripts u JOIN transcripts t
+      ON u.conv_id = t.conv_id AND u.role = 'user' AND t.role = 'tool'
+     AND t.ts > u.ts AND t.ts <= u.ts + INTERVAL '4 hours'"""
+
+_W_SESSION_SQL = f"""{_T},
+    flagged AS (
+      SELECT *, CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM transcripts
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    ),
+    sessioned AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT conv_id, MIN(ts) AS win_start,
+           MAX(ts) + INTERVAL '30 minutes' AS win_end,
+           {_WIN_AGGS}
+    FROM sessioned GROUP BY conv_id, sess_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "t_add": f"{_T} SELECT *, TRUE AS replay, 'p1' AS pipeline FROM transcripts",
@@ -584,29 +705,11 @@ def oracle_sql() -> dict[str, str]:
                    {_WIN_AGGS}
             FROM transcripts CROSS JOIN (SELECT unnest([0, 1]) AS k)
             GROUP BY 1, 2, 3""",
-        "w_session": f"""{_T},
-            flagged AS (
-              SELECT *, CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
-                             OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
-              FROM transcripts
-              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
-            ),
-            sessioned AS (
-              SELECT *, SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                                            ROWS UNBOUNDED PRECEDING) AS sess_id
-              FROM flagged
-            )
-            SELECT conv_id, MIN(ts) AS win_start,
-                   MAX(ts) + INTERVAL '30 minutes' AS win_end,
-                   {_WIN_AGGS}
-            FROM sessioned GROUP BY conv_id, sess_id""",
+        "w_session": _W_SESSION_SQL,
         "dedup_exact": f"{_TD} SELECT DISTINCT * FROM transcripts_dup",
-        "j_user_tool": f"""{_T}
-            SELECT u.conv_id, u.turn_idx AS user_turn, u.ts AS user_ts,
-                   t.turn_idx AS tool_turn, t.tool AS tool_name, t.ts AS tool_ts
-            FROM transcripts u JOIN transcripts t
-              ON u.conv_id = t.conv_id AND u.role = 'user' AND t.role = 'tool'
-             AND t.ts > u.ts AND t.ts <= u.ts + INTERVAL '4 hours'""",
+        "j_user_tool": _J_USER_TOOL_SQL,
+        # streamed (watermarked stream-stream join) == batch range join
+        "stream_join": _J_USER_TOOL_SQL,
         "j_asof": f"""{_T},
             marked AS (
               SELECT *,
@@ -660,6 +763,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT *, 'rest' AS route FROM tx WHERE role != 'tool'""",
         "stream_dedup": f"{_TD} SELECT DISTINCT * FROM transcripts_dup",
+        # identical result set to the batch w_session oracle — streamed
+        # (watermark + state-store session merge) == batch
+        "stream_session": _W_SESSION_SQL,
         "txt_tokens": f"SELECT doc_id, {TXT.token_counts_sql()} FROM documents",
         "txt_quality": f"SELECT doc_id, {TXT.quality_sql()} FROM documents",
         "txt_langid": f"""

@@ -63,3 +63,15 @@ def test_dsl_pipeline_to_stub_sink(spark, tmp_path):
     )
     assert sum(e["rows"] for e in dd.epochs) == expected
     assert len(dd.epochs) == 2  # one epoch per input file
+
+
+def test_iceberg_sink_guard(spark, transcripts_df):
+    """Without the Iceberg runtime the sink must fail loudly, not write."""
+    import pytest as _pytest
+
+    from vaero_spark.sinks.writers import IcebergSink, iceberg_available
+
+    if iceberg_available(spark):
+        _pytest.skip("Iceberg runtime present; guard not applicable")
+    with _pytest.raises(RuntimeError, match="Iceberg runtime"):
+        IcebergSink("local.db.t").write(transcripts_df, 0)

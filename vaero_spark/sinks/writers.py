@@ -160,6 +160,58 @@ class ExactlyOnceParquetSink:
 
 
 @dataclass
+class IcebergSink:
+    """Production sink: idempotent per-epoch appends to an Iceberg table.
+
+    Exactly-once: each epoch's append commit carries
+    ``vaero.epoch=<id>`` in its snapshot summary; on re-delivery after a
+    restart we scan recent snapshot summaries and skip epochs already
+    committed — the Iceberg-native analog of the parquet sink's marker
+    files (atomic snapshot commit replaces the marker rename).
+
+    Requires the Iceberg Spark runtime on the classpath and a configured
+    catalog (``spark.sql.catalog.<name>``). The sandbox image has no
+    Iceberg jar (``iceberg_available`` returns False), so this class is
+    exercised only by its unit-level guard; the epoch-commit contract is
+    integration-tested through :class:`ExactlyOnceParquetSink`, which
+    implements the identical protocol on files.
+    """
+
+    table: str  # catalog.db.table
+    prefix_format: str = "yyyy-MM-dd"
+    ts_col: str = "ts"
+    order_cols: tuple = ("conv_id", "turn_idx")
+
+    def _committed_epochs(self, spark) -> set:
+        rows = spark.sql(
+            f"SELECT summary['vaero.epoch'] AS e FROM {self.table}.snapshots"
+        ).collect()
+        return {int(r.e) for r in rows if r.e is not None}
+
+    def write(self, batch_df: DataFrame, epoch_id: int) -> dict:
+        spark = batch_df.sparkSession
+        if not iceberg_available(spark):
+            raise RuntimeError("Iceberg runtime not on classpath; use ExactlyOnceParquetSink")
+        if epoch_id in self._committed_epochs(spark):
+            return {"epoch": epoch_id, "skipped": True}
+        df = batch_df.filter(F.col(self.ts_col).isNotNull()).withColumn(
+            "prefix", F.date_format(self.ts_col, self.prefix_format)
+        )
+        df = df.repartition(F.col("prefix")).sortWithinPartitions(
+            "prefix", *[c for c in self.order_cols if c in df.columns]
+        )
+        (
+            df.writeTo(self.table)
+            .option("snapshot-property.vaero.epoch", str(epoch_id))
+            .append()
+        )
+        return {"epoch": epoch_id, "skipped": False}
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        return lambda df, epoch_id: self.write(df, epoch_id)
+
+
+@dataclass
 class MemorySink:
     """Collects batches driver-side — test/debug analog of the reference's
     stdout sink (``sink_stdout.go:23-26``)."""
