@@ -444,6 +444,12 @@ def q_dedup_embedding(spark, sf_dir):
     return DD.embedding_dup_groups(CORPUS.embeddings_with_dups(spark, sf_dir))
 
 
+def q_dedup_embedding_cos(spark, sf_dir):
+    """Embedding near-dup pairs: cosine ≥ 0.99 via sign-bit LSH bucket
+    join + exact int-quantized cosine verification."""
+    return DD.embedding_neardup_pairs(CORPUS.embeddings_with_dups(spark, sf_dir))
+
+
 def _ann_queries(df):
     return df.filter(F.col("vec_id") % 25 == 0)
 
@@ -516,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_cos": q_dedup_embedding_cos,
         "ann_brute": q_ann_brute,
         "ann_bucketed": q_ann_bucketed,
         "ann_hyperplane": q_ann_hyperplane,
@@ -788,6 +795,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(vec_id) AS keep_id, count(*) AS n_copies,
                    array_to_string(list_sort(list(vec_id)), ',') AS members
             FROM sigs GROUP BY vec_sig HAVING count(*) > 1""",
+        "dedup_embedding_cos": f"""{_E},
+            q AS (SELECT vec_id, {CORPUS.quantized_sql()} AS qv FROM embeddings_nd),
+            el AS (SELECT vec_id, i, qv[i] AS v
+                   FROM q, unnest(generate_series(1, len(qv))) t(i)),
+            nn AS (SELECT vec_id, SUM(v * v) AS nsq FROM el GROUP BY vec_id),
+            bk AS (SELECT vec_id, {SIM.sign_bucket_from_quant_sql('qv')} AS bucket FROM q),
+            cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM bk a JOIN bk b ON a.bucket = b.bucket
+                                        AND a.vec_id < b.vec_id),
+            dots AS (SELECT c.id_a, c.id_b, SUM(ea.v * eb.v) AS dot
+                     FROM cand c
+                     JOIN el ea ON ea.vec_id = c.id_a
+                     JOIN el eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+                     GROUP BY c.id_a, c.id_b)
+            SELECT * FROM (
+              SELECT d.id_a, d.id_b,
+                     CAST(floor(10000.0 * d.dot / (sqrt(CAST(na.nsq AS DOUBLE))
+                          * sqrt(CAST(nb.nsq AS DOUBLE)))) AS BIGINT) AS sim_e4
+              FROM dots d JOIN nn na ON na.vec_id = d.id_a
+                          JOIN nn nb ON nb.vec_id = d.id_b
+            ) WHERE sim_e4 >= 9900""",
         "ann_brute": _ann_sql(bucketed=False),
         "ann_bucketed": _ann_sql(bucketed=True),
         # ann_hyperplane: intentionally no oracle (float matmul in a

@@ -267,6 +267,76 @@ def run_scaling(sf_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# training-data ops at scale (manual mode: python bench.py --scale-ops N)
+# ---------------------------------------------------------------------------
+
+def run_scale_ops(sf_dir: str, replicas: int, cores: int) -> dict:
+    """Scale demonstration for the dedup/ANN operators: synthesize
+    ``replicas``× the documents/embeddings corpus with mutated copies
+    (replicas are NOT near-dups of each other — an ``r<k>`` token is
+    interleaved between every word, so shingle sets are disjoint across
+    replicas; embeddings are rotated per replica), then time MinHash+LSH
+    near-dup mining and LSH-bucketed ANN end-to-end."""
+    from pyspark.sql import functions as F
+    from vaero_spark.operators import dedup as DD
+    from vaero_spark.operators import similarity as SIM
+    from vaero_spark.sources.corpus import DOC_ND_EVERY, ND_OFFSET
+
+    spark = _spark(cores, "vaero_scale_ops")
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10 * ND_OFFSET)).alias("doc_id"),
+            F.regexp_replace(
+                "text", " ", F.concat(F.lit(" r"), F.col("rep").cast("string"), F.lit(" "))
+            ).alias("text"),
+        )
+    )
+    planted = big.filter(F.col("doc_id") % DOC_ND_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(ND_OFFSET)).alias("doc_id"),
+        F.concat("text", F.lit(" vaero")).alias("text"),
+    )
+    corpus = big.unionByName(planted)
+    n_docs = corpus.count()
+    t0 = time.perf_counter()
+    n_pairs = DD.minhash_lsh_pairs(corpus).count()
+    t_minhash = time.perf_counter() - t0
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    big_e = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(10 * ND_OFFSET)).alias("vec_id"),
+            F.expr(
+                "concat(slice(embedding, CAST(pmod(rep,64)+1 AS INT), CAST(64-pmod(rep,64) AS INT)),"
+                " slice(embedding, 1, CAST(pmod(rep,64) AS INT)))"
+            ).alias("embedding"),
+        )
+    )
+    n_vecs = big_e.count()
+    queries_df = big_e.filter(F.col("vec_id") % 997 == 0)
+    n_q = queries_df.count()
+    t0 = time.perf_counter()
+    n_ann = SIM.cosine_topk_bucketed(big_e, queries_df, k=5).count()
+    t_ann = time.perf_counter() - t0
+
+    return {
+        "cores": cores,
+        "docs": n_docs,
+        "minhash_pairs": n_pairs,
+        "minhash_sec": round(t_minhash, 1),
+        "docs_per_sec": round(n_docs / t_minhash, 0),
+        "vecs": n_vecs,
+        "ann_queries": n_q,
+        "ann_results": n_ann,
+        "ann_sec": round(t_ann, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
 # main
 # ---------------------------------------------------------------------------
 
@@ -277,10 +347,17 @@ def main() -> None:
     ap.add_argument("--input", type=str, default=None)
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--no-scaling", action="store_true")
+    ap.add_argument("--scale-ops", type=int, default=None, metavar="REPLICAS",
+                    help="time dedup/ANN ops on a REPLICAS-x synthetic corpus")
     args = ap.parse_args()
 
     if args.throughput:
         print(json.dumps(run_throughput(args.cores, args.input, args.rows)))
+        return
+    if args.scale_ops:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_scale_ops(sf_dir, args.scale_ops, cpus)))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)

@@ -257,25 +257,62 @@ def fingerprint_sql(col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W) ->
 # minhash signatures + LSH band keys (per-row; the join lives in dedup.py)
 # ---------------------------------------------------------------------------
 
+# Universal-hash family over one 40-bit md5 slice: h_s(x) = (a_s*h + b_s)
+# mod M. ONE md5 per shingle instead of n (measured 12 md5s/shingle as
+# the minhash bottleneck); the derived family is the textbook
+# Carter-Wegman construction and is exactly reproducible in integer SQL.
+# 40-bit h keeps a_s*h + b_s < 2^46 — no int64 overflow in either engine.
+MINHASH_MOD = (1 << 61) - 1  # Mersenne prime
+MINHASH_A = [2 * s + 3 for s in range(MINHASH_N)]  # odd
+MINHASH_B = [s * s + 1 for s in range(MINHASH_N)]
+_HEX_SLICE = 10  # hex chars = 40 bits
+
+
+def _hex_slice_to_long(col: Column) -> Column:
+    """First 10 hex chars of an md5 → 40-bit non-negative BIGINT."""
+    out = F.lit(0).cast("long")
+    for j in range(1, _HEX_SLICE + 1):
+        d = F.instr(F.lit(_HEX), F.substring(col, j, 1)) - 1
+        out = out * F.lit(16) + d.cast("long")
+    return out
+
+
+def hex_slice_to_long_sql(expr: str) -> str:
+    out = "CAST(0 AS BIGINT)"
+    for j in range(1, _HEX_SLICE + 1):
+        out = f"({out} * 16 + (strpos('{_HEX}', substr({expr}, {j}, 1)) - 1))"
+    return out
+
+
 def minhash_agg(sh_df, id_col: str = "doc_id", n: int = MINHASH_N):
-    """(id, shingle) rows → (id, sig): n md5-seeded minhashes as an
-    array of hex strings. min over lexicographic hex order == min over
-    the uniform 128-bit hash — a valid minwise family, identical in both
-    engines.
+    """(id, shingle) rows → (id, sig): n minhashes (as BIGINT strings)
+    from ONE md5 per shingle + n derived universal hashes.
 
     Explode+aggregate shape (one shuffle on id, map-side combine), NOT
     nested array lambdas: besides being the standard scale shape, deeply
     nested higher-order functions (transform-inside-array-min) were
     observed to return wrong md5/min values for some rows in long-lived
     Spark 4.1.2 sessions — flat aggregate expressions are immune."""
+    h = _hex_slice_to_long(F.md5(F.col("shingle")))
+    base = sh_df.withColumn("_h", h)
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"_m{s}")
+        F.min(
+            F.pmod(
+                F.col("_h") * F.lit(MINHASH_A[s]) + F.lit(MINHASH_B[s]),
+                F.lit(MINHASH_MOD),
+            )
+        ).alias(f"_m{s}")
         for s in range(n)
     ]
     return (
-        sh_df.groupBy(id_col)
+        base.groupBy(id_col)
         .agg(*mins)
-        .select(F.col(id_col), F.array(*[F.col(f"_m{s}") for s in range(n)]).alias("sig"))
+        .select(
+            F.col(id_col),
+            F.array(
+                *[F.col(f"_m{s}").cast("string") for s in range(n)]
+            ).alias("sig"),
+        )
     )
 
 
@@ -284,9 +321,14 @@ def minhash_signature_sql(col: str = "text", n: int = MINHASH_N) -> str:
 
 
 def minhash_sig_from_shingles_sql(sh: str, n: int = MINHASH_N) -> str:
-    """Signature from an existing shingle-array SQL expression."""
+    """Signature from an existing shingle-array SQL expression — the
+    DuckDB twin of :func:`minhash_agg` (same one-md5 + universal-hash
+    family, elements rendered as strings)."""
+    h = hex_slice_to_long_sql("md5(x)")
     parts = ", ".join(
-        f"list_min(list_transform({sh}, x -> md5('{s}:' || x)))" for s in range(n)
+        f"CAST(list_min(list_transform({sh}, "
+        f"x -> ({h} * {MINHASH_A[s]} + {MINHASH_B[s]}) % {MINHASH_MOD})) AS VARCHAR)"
+        for s in range(n)
     )
     return f"[{parts}]"
 
