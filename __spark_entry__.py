@@ -639,8 +639,8 @@ def _ann_sql(bucketed: bool) -> str:
 
 _WIN_AGGS = """
   COUNT(*) AS n_turns,
-  SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
-  SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+  CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+  CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
   MIN(turn_idx) AS first_turn,
   MAX(turn_idx) AS last_turn,
   MIN(ts) AS min_ts,
@@ -731,19 +731,19 @@ def oracle_sql() -> dict[str, str]:
             FROM marked WHERE role = 'tool'""",
         "agg_salted": f"""{_T}
             SELECT conv_id, COUNT(*) AS n_turns,
-                   SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
                    MAX(turn_idx) AS last_turn, MIN(ts) AS min_ts, MAX(ts) AS max_ts
             FROM transcripts GROUP BY conv_id""",
         "q_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
         "q_nation_revenue": """
             SELECT n_name,
-                   SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
@@ -751,7 +751,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top_customers": """
             WITH per_cust AS (
               SELECT o_custkey,
-                     SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_cents
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
               FROM orders GROUP BY o_custkey
             )
             SELECT o_custkey, spend_cents,

@@ -27,9 +27,10 @@ def _norm_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        # BIT-STRICT: an integral float (e.g. DuckDB HUGEINT→float64 6.0)
+        # must NOT hash-equal the int 6 — the driver's gate doesn't
+        # forgive dtype drift, so neither do we (VERDICT r01 root cause).
+        return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
