@@ -566,11 +566,11 @@ def _jaccard_tail(min_pct: int) -> str:
 
 _MINHASH_SQL = f"""{_D},
     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents_nd),
-    sig AS (SELECT doc_id, {TXT.minhash_sig_from_shingles_sql('sh')} AS sig FROM sh),
+    shingle_rows AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
+    sig AS ({TXT.minhash_sig_select_sql('shingle_rows')}),
     bands AS (SELECT doc_id, unnest({TXT.band_keys_sql('sig')}) AS bk FROM sig),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-    shingle_rows AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
     {_jaccard_tail(50)}"""
 
 _NGRAM_SQL = f"""{_D},

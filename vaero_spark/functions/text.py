@@ -42,8 +42,8 @@ LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic argmax tiebreak
 CJK_RE = r"[\x{4e00}-\x{9fff}]"  # RE2 & Java both accept \x{...}
 
 SHINGLE_K = 3  # words per shingle
-MINHASH_N = 12  # signature length
-MINHASH_BANDS = 4  # 4 bands x 3 rows
+MINHASH_N = 64  # signature length
+MINHASH_BANDS = 16  # 16 bands x 4 rows: threshold ≈ (1/16)^(1/4) ≈ 0.5
 WINNOW_W = 4  # winnowing window (shingle hashes per window)
 
 _HEX = "0123456789abcdef"
@@ -257,14 +257,21 @@ def fingerprint_sql(col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W) ->
 # minhash signatures + LSH band keys (per-row; the join lives in dedup.py)
 # ---------------------------------------------------------------------------
 
-# Universal-hash family over one 40-bit md5 slice: h_s(x) = (a_s*h + b_s)
-# mod M. ONE md5 per shingle instead of n (measured 12 md5s/shingle as
-# the minhash bottleneck); the derived family is the textbook
-# Carter-Wegman construction and is exactly reproducible in integer SQL.
-# 40-bit h keeps a_s*h + b_s < 2^46 — no int64 overflow in either engine.
-MINHASH_MOD = (1 << 61) - 1  # Mersenne prime
-MINHASH_A = [2 * s + 3 for s in range(MINHASH_N)]  # odd
-MINHASH_B = [s * s + 1 for s in range(MINHASH_N)]
+# Universal-hash family (Carter–Wegman) over one md5 per shingle:
+#   h31  = (40-bit md5 hex slice) mod p          p = 2^31 - 1 (Mersenne)
+#   h_s  = (a_s * h31 + b_s) mod p               a_s, b_s pseudo-random 31-bit
+# ONE md5 per shingle instead of n (n md5s/shingle was the measured
+# minhash bottleneck). a_s*h31 < 2^62 — no int64 overflow in either
+# engine — and the product wraps p ~2^31 times, so each h_s is a genuine
+# scramble of h31. (Round-1 bug: small a_s kept a_s*h+b_s below the
+# modulus, making every h_s MONOTONE in h — the whole signature was then
+# determined by the single argmin shingle and LSH banding amplified
+# nothing. Seeds must be large enough that the mod actually wraps.)
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+_mh_rng = __import__("random").Random(0xC0FFEE)  # fixed seed — constants are
+MINHASH_A = [_mh_rng.randrange(1, MINHASH_P) for _ in range(MINHASH_N)]
+MINHASH_B = [_mh_rng.randrange(0, MINHASH_P) for _ in range(MINHASH_N)]
+del _mh_rng
 _HEX_SLICE = 10  # hex chars = 40 bits
 
 
@@ -293,13 +300,13 @@ def minhash_agg(sh_df, id_col: str = "doc_id", n: int = MINHASH_N):
     nested higher-order functions (transform-inside-array-min) were
     observed to return wrong md5/min values for some rows in long-lived
     Spark 4.1.2 sessions — flat aggregate expressions are immune."""
-    h = _hex_slice_to_long(F.md5(F.col("shingle")))
+    h = F.pmod(_hex_slice_to_long(F.md5(F.col("shingle"))), F.lit(MINHASH_P))
     base = sh_df.withColumn("_h", h)
     mins = [
         F.min(
             F.pmod(
                 F.col("_h") * F.lit(MINHASH_A[s]) + F.lit(MINHASH_B[s]),
-                F.lit(MINHASH_MOD),
+                F.lit(MINHASH_P),
             )
         ).alias(f"_m{s}")
         for s in range(n)
@@ -316,21 +323,24 @@ def minhash_agg(sh_df, id_col: str = "doc_id", n: int = MINHASH_N):
     )
 
 
-def minhash_signature_sql(col: str = "text", n: int = MINHASH_N) -> str:
-    return minhash_sig_from_shingles_sql(shingles_sql(tokens_sql(col)), n)
-
-
-def minhash_sig_from_shingles_sql(sh: str, n: int = MINHASH_N) -> str:
-    """Signature from an existing shingle-array SQL expression — the
-    DuckDB twin of :func:`minhash_agg` (same one-md5 + universal-hash
-    family, elements rendered as strings)."""
-    h = hex_slice_to_long_sql("md5(x)")
-    parts = ", ".join(
-        f"CAST(list_min(list_transform({sh}, "
-        f"x -> ({h} * {MINHASH_A[s]} + {MINHASH_B[s]}) % {MINHASH_MOD})) AS VARCHAR)"
+def minhash_sig_select_sql(
+    shingle_rows: str, id_col: str = "doc_id", n: int = MINHASH_N
+) -> str:
+    """DuckDB twin of :func:`minhash_agg`: a full SELECT producing
+    (id, sig) from a (id, shingle) relation — md5 each shingle ONCE,
+    then n MIN aggregates over the derived universal hashes (same
+    explode+agg shape as Spark, not n list_transforms re-hashing the
+    shingle list n times)."""
+    h31 = f"({hex_slice_to_long_sql('md5(shingle)')}) % {MINHASH_P}"
+    mins = ", ".join(
+        f"CAST(MIN((h31 * {MINHASH_A[s]} + {MINHASH_B[s]}) % {MINHASH_P}) AS VARCHAR)"
         for s in range(n)
     )
-    return f"[{parts}]"
+    return (
+        f"SELECT {id_col}, [{mins}] AS sig "
+        f"FROM (SELECT {id_col}, {h31} AS h31 FROM {shingle_rows}) "
+        f"GROUP BY {id_col}"
+    )
 
 
 def band_keys(sig: Column, bands: int = MINHASH_BANDS, n: int = MINHASH_N) -> Column:
