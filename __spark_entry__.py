@@ -421,6 +421,10 @@ def q_dedup_exact_docs(spark, sf_dir):
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs (banding → bucket join → exact-Jaccard
     verify) over the planted-near-dup corpus."""
+    # the persisted shingle index of a PREVIOUS gate query is dead
+    # weight by now (the driver replays all queries in one session) —
+    # drop it so storage memory stays bounded across the suite
+    spark.catalog.clearCache()
     return DD.minhash_lsh_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
 
 
@@ -436,6 +440,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs via shingle inverted index."""
+    spark.catalog.clearCache()  # see q_dedup_minhash
     return DD.ngram_jaccard_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
 
 
@@ -578,8 +583,7 @@ _NGRAM_SQL = f"""{_D},
     shingle_rows AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
     informative AS (
       SELECT shingle FROM shingle_rows GROUP BY shingle
-      HAVING count(*) <= greatest(CAST(floor(
-        (SELECT count(DISTINCT doc_id) FROM documents_nd) * 0.2) AS BIGINT), 1)),
+      HAVING count(*) <= {DD.STOP_SHINGLE_MAX_DF}),
     sh_i AS (SELECT s.doc_id, s.shingle FROM shingle_rows s JOIN informative USING (shingle)),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM sh_i a JOIN sh_i b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),

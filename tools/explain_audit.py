@@ -48,8 +48,38 @@ def main() -> None:
     spark = get_spark("explain_audit", master="local[8]", shuffle_partitions=8)
     qs = entry_mod.queries()
     failures = []
+
+    import contextlib
+
+    from pyspark.sql import DataFrame as _DF
+
+    @contextlib.contextmanager
+    def no_actions(qname: str):
+        """Eager-action guard: BUILDING a query plan must not call
+        count/collect/first/take/toPandas — a driver-side action inside
+        an operator is a full extra scan per invocation at 100 TB.
+        (File listing / parquet schema-inference jobs are fine.)"""
+        names = ["count", "collect", "first", "take", "toPandas"]
+        saved = {m: getattr(_DF, m) for m in names}
+
+        def banned(m):
+            def _f(self, *a, **k):
+                failures.append((qname, f"driver-side action .{m}() while building the plan"))
+                return saved[m](self, *a, **k)
+
+            return _f
+
+        for m in names:
+            setattr(_DF, m, banned(m))
+        try:
+            yield
+        finally:
+            for m in names:
+                setattr(_DF, m, saved[m])
+
     for name, (must, must_not) in CHECKS.items():
-        df = qs[name](spark, sf_dir)
+        with no_actions(name):
+            df = qs[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )

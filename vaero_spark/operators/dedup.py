@@ -39,10 +39,14 @@ from vaero_spark.functions.text import (
 )
 from vaero_spark.sources.corpus import quantized
 
-# Shingles present in more than this fraction of docs are "stop
-# shingles": they connect everything to everything (quadratic pair
-# blowup) while carrying no dedup signal. Standard inverted-index guard.
-STOP_SHINGLE_MAX_DF = 0.20
+# Shingles present in more than this many docs are "stop shingles":
+# they connect everything to everything while carrying no dedup signal.
+# An ABSOLUTE document-frequency cap (standard inverted-index practice)
+# bounds the candidate pairs any one shingle can generate at O(cap²)
+# regardless of corpus size — a fractional cap (0.2·N) would let a
+# single common shingle emit (0.2N)² pairs, ~4×10¹⁶ at 10⁹ docs — and
+# needs no corpus-wide count() action to compute.
+STOP_SHINGLE_MAX_DF = 50
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -130,16 +134,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard_pct: int = 50,
-    max_df_frac: float = STOP_SHINGLE_MAX_DF,
+    max_df: int = STOP_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """All near-dup pairs by exact n-gram Jaccard, via the shingle
     inverted index (never all-pairs): docs sharing ≥1 informative
     shingle are candidates; stop-shingles (document frequency above
-    ``max_df_frac``) are dropped from candidate *generation* but kept
-    for the exact verification, so the Jaccard value is unbiased."""
+    the absolute ``max_df`` cap) are dropped from candidate
+    *generation* but kept for the exact verification, so the Jaccard
+    value is unbiased. Fully lazy — no driver-side action in the plan
+    (asserted by tools/explain_audit.py's eager-job guard)."""
     sh = doc_shingles(df, id_col, text_col).persist()  # shared by 3 consumers
-    n_docs = df.select(id_col).distinct().count()
-    max_df = max(int(n_docs * max_df_frac), 1)
     informative = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
