@@ -615,16 +615,16 @@ _ANN_ELEMENTS = f"""
 
 
 def _ann_sql(bucketed: bool) -> str:
-    bucket_join = ""
+    band_ctes = ""
+    pair_filter = ""
     if bucketed:
-        bucket_join = f"""
-    qb AS (SELECT q_id, {SIM.sign_bucket_from_quant_sql('qv')} AS bucket FROM q),
-    cb AS (SELECT n_id, {SIM.sign_bucket_from_quant_sql('nv')} AS bucket FROM c),"""
-    pair_filter = (
-        "JOIN qb ON qb.q_id = qel.q_id JOIN cb ON cb.n_id = cel.n_id "
-        "AND qb.bucket = cb.bucket" if bucketed else ""
-    )
-    return f"""WITH {_ANN_ELEMENTS.lstrip()},{bucket_join}
+        band_ctes = f"""
+    qb AS (SELECT q_id, unnest({SIM.sign_band_keys_sql('qv', SIM.ANN_SIGN_BANDS, SIM.ANN_SIGN_BAND_BITS)}) AS bk FROM q),
+    cb AS (SELECT n_id, unnest({SIM.sign_band_keys_sql('nv', SIM.ANN_SIGN_BANDS, SIM.ANN_SIGN_BAND_BITS)}) AS bk FROM c),
+    cand AS (SELECT DISTINCT qb.q_id, cb.n_id
+             FROM qb JOIN cb ON qb.bk = cb.bk AND qb.q_id != cb.n_id),"""
+        pair_filter = "JOIN cand ON cand.q_id = qel.q_id AND cand.n_id = cel.n_id"
+    return f"""WITH {_ANN_ELEMENTS.lstrip()},{band_ctes}
     dots AS (
       SELECT qel.q_id, cel.n_id, SUM(qel.v * cel.v) AS dot
       FROM qel JOIN cel ON qel.i = cel.i AND qel.q_id != cel.n_id
@@ -804,9 +804,9 @@ def oracle_sql() -> dict[str, str]:
             el AS (SELECT vec_id, i, qv[i] AS v
                    FROM q, unnest(generate_series(1, len(qv))) t(i)),
             nn AS (SELECT vec_id, SUM(v * v) AS nsq FROM el GROUP BY vec_id),
-            bk AS (SELECT vec_id, {SIM.sign_bucket_from_quant_sql('qv')} AS bucket FROM q),
-            cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                     FROM bk a JOIN bk b ON a.bucket = b.bucket
+            bk AS (SELECT vec_id, unnest({SIM.sign_band_keys_sql('qv')}) AS bk FROM q),
+            cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM bk a JOIN bk b ON a.bk = b.bk
                                         AND a.vec_id < b.vec_id),
             dots AS (SELECT c.id_a, c.id_b, SUM(ea.v * eb.v) AS dot
                      FROM cand c

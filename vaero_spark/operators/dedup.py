@@ -217,36 +217,44 @@ def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     min_sim_e4: int = 9900,
-    bits: int = 6,
 ) -> DataFrame:
     """Near-duplicate vector pairs: cosine ≥ ``min_sim_e4``/1e4.
 
-    Candidates come from the sign-bit LSH bucket (vectors with cosine
-    ≈ 1 share every coordinate sign, so they always collide); exact
-    int-quantized cosine verifies. One equi-join shuffle on the bucket
-    — never all-pairs. Output: (id_a, id_b, sim_e4)."""
-    from vaero_spark.operators.similarity import _int_dot, _sim_e4, sign_bucket_from_quant
+    Candidates collide in ≥1 of the 4 sign bands (16 bits each —
+    vectors with cosine ≈ 1 share every coordinate sign, so they
+    collide in ALL bands); exact int-quantized cosine verifies. The
+    band self-join moves only (id, band_key); vectors are joined back
+    by id after the distinct — per-band buckets number 2^16, so
+    within-bucket pair work is (N/65536)² per band, never all-pairs.
+    Output: (id_a, id_b, sim_e4)."""
+    from vaero_spark.operators.similarity import (
+        _int_dot,
+        _sim_e4,
+        sign_band_keys_from_quant,
+    )
 
     q = quantized(vec_col)
-    base = df.select(
-        F.col("vec_id"), q.alias("qv"), _int_dot(q, q).alias("nsq")
-    ).withColumn("bucket", sign_bucket_from_quant("qv", bits))
+    base = df.select(F.col("vec_id"), q.alias("qv"), _int_dot(q, q).alias("nsq"))
+    bk = base.select("vec_id", F.explode(sign_band_keys_from_quant("qv")).alias("bk"))
+    cand = (
+        bk.select(F.col("vec_id").alias("id_a"), "bk")
+        .join(
+            bk.select(F.col("vec_id").alias("id_b"), F.col("bk").alias("bk_b")),
+            (F.col("bk") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()  # OR across bands
+    )
     a = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("qv").alias("qa"),
-        F.col("nsq").alias("na"),
-        "bucket",
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nsq").alias("na")
     )
     b = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("qv").alias("qb"),
-        F.col("nsq").alias("nb"),
-        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nsq").alias("nb")
     )
-    pairs = a.join(
-        b, (a.bucket == b.bucket_b) & (F.col("id_a") < F.col("id_b"))
-    ).select(
-        "id_a", "id_b", _sim_e4(_int_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("sim_e4")
+    pairs = cand.join(a, "id_a").join(b, "id_b").select(
+        "id_a",
+        "id_b",
+        _sim_e4(_int_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("sim_e4"),
     )
     return pairs.filter(F.col("sim_e4") >= min_sim_e4)
 

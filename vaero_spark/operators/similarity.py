@@ -6,11 +6,13 @@ Three tiers (none exist in the reference — SURVEY.md §2.6):
   (small) query set against the corpus; one narrow pass + a per-query
   top-k. The correctness baseline, and the right plan whenever
   |queries| is broadcastable.
-- :func:`cosine_topk_bucketed` — sign-bit LSH: corpus and queries are
-  bucketed by the sign pattern of the leading dimensions and only
-  same-bucket pairs are scored. One shuffle on the bucket key; work is
-  |bucket|-local — the 100 TB shape. (Sign-of-coordinate is the
-  simplest hyperplane family; it keeps the DuckDB oracle exact.)
+- :func:`cosine_topk_bucketed` — multi-band sign LSH: the 64 coordinate
+  signs are split into 4 bands of 16 bits; a pair is a candidate if it
+  collides in ANY band (the OR construction). One shuffle on the band
+  key; each band has 2^16 buckets, so expected within-bucket work is
+  (N/65536)² per band — bounded at scale, unlike a single small-bucket
+  scheme. (Sign-of-coordinate is the simplest hyperplane family; it
+  keeps the DuckDB oracle exact.)
 - :func:`cosine_topk_hyperplane` — random-hyperplane LSH with a
   broadcast plane matrix in a vectorized pandas UDF (numpy matmul per
   Arrow batch). The production ANN path; Spark-only (float matmul has
@@ -29,7 +31,16 @@ from pyspark.sql import functions as F
 
 from vaero_spark.sources.corpus import quantized
 
-SIGN_BITS = 6  # sign-bit LSH: 2^6 = 64 buckets
+# Sign-LSH banding: bits/band is the precision↔recall knob (collision
+# prob per band ≈ (1 − θ/π)^bits). Near-dup DEDUP (cos ≥ 0.99 ⇒ nearly
+# all signs equal) affords long bands; ANN over a diffuse corpus (true
+# neighbors ~60-70° apart) needs short bands + more of them. Both use
+# all 64 dims; bits also sizes the buckets (2^bits per band), i.e. at
+# larger corpora raise bits to keep within-bucket pair work bounded.
+SIGN_BANDS = 4  # dedup: 4 bands × 16 bits
+SIGN_BAND_BITS = 16
+ANN_SIGN_BANDS = 8  # ANN: 8 bands × 8 bits
+ANN_SIGN_BAND_BITS = 8
 
 
 def _int_dot(a, b):
@@ -101,22 +112,34 @@ def cosine_topk_bucketed(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = SIGN_BITS,
+    bands: int = ANN_SIGN_BANDS,
+    bits: int = ANN_SIGN_BAND_BITS,
 ) -> DataFrame:
-    """Approximate top-k: score only same-sign-bucket pairs.
+    """Approximate top-k: score pairs colliding in ≥1 sign band.
 
-    The equi-join on ``bucket`` is the scale path: both sides shuffle
-    once on the bucket key and each bucket is scored locally —
-    |corpus|·|queries|/2^bits expected work, AQE handles bucket skew.
+    Candidate generation carries only (id, band_key) — the exploded
+    band table is narrow, the equi-join on the band key is the only
+    data-sized shuffle, and vectors are fetched back by id AFTER the
+    distinct, so the ×bands explosion never moves the embedding arrays.
+    Expected work per band is |corpus|·|queries|/2^bits; AQE handles
+    band-bucket skew.
     """
-    c = _with_quant(corpus, id_col, vec_col, "n").withColumn(
-        "bucket", sign_bucket_from_quant("n_q", bits)
+    c = _with_quant(corpus, id_col, vec_col, "n")
+    q = _with_quant(queries, id_col, vec_col, "q")
+    cb = c.select(
+        "n_id", F.explode(sign_band_keys_from_quant("n_q", bands, bits)).alias("bk")
     )
-    q = _with_quant(queries, id_col, vec_col, "q").withColumn(
-        "bucket", sign_bucket_from_quant("q_q", bits)
+    qb = q.select(
+        "q_id", F.explode(sign_band_keys_from_quant("q_q", bands, bits)).alias("bk_q")
+    )
+    cand = (
+        qb.join(cb, (F.col("bk_q") == F.col("bk")) & (F.col("q_id") != F.col("n_id")))
+        .select("q_id", "n_id")
+        .distinct()  # OR across bands
     )
     scored = (
-        c.join(q, (c.bucket == q.bucket) & (F.col("n_id") != F.col("q_id")))
+        cand.join(q, "q_id")
+        .join(c, "n_id")
         .select(
             "q_id",
             "n_id",
@@ -138,22 +161,38 @@ def cosine_topk_bucketed(
     )
 
 
-def sign_bucket_from_quant(qvec_col: str, bits: int = SIGN_BITS):
-    """Bucket from the already-quantized int vector (sign is preserved
-    by floor-quantization for |x| ≥ 1e-6; using the same source on both
-    engines keeps the boundary cases identical)."""
+def sign_band_keys_from_quant(
+    qvec_col: str, bands: int = SIGN_BANDS, bits: int = SIGN_BAND_BITS
+):
+    """Array of ``bands`` band keys from the already-quantized int
+    vector: key = band_idx·2^bits + sign-bit pattern of that band's
+    coordinates. Sign is preserved by floor-quantization for |x| ≥ 1e-6;
+    using the same source on both engines keeps boundary cases
+    identical. Exact duplicates collide in every band by construction."""
     c = F.col(qvec_col)
-    out = F.lit(0)
-    for p in range(bits):
-        out = out + F.when(F.element_at(c, p + 1) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return out.cast("int")
+    keys = []
+    for b in range(bands):
+        out = F.lit(b * (1 << bits))
+        for p in range(bits):
+            out = out + F.when(
+                F.element_at(c, b * bits + p + 1) > 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        keys.append(out.cast("int"))
+    return F.array(*keys)
 
 
-def sign_bucket_from_quant_sql(qvec: str, bits: int = SIGN_BITS) -> str:
-    terms = " + ".join(
-        f"CASE WHEN ({qvec})[{p + 1}] > 0 THEN {1 << p} ELSE 0 END" for p in range(bits)
-    )
-    return f"CAST({terms} AS INTEGER)"
+def sign_band_keys_sql(
+    qvec: str, bands: int = SIGN_BANDS, bits: int = SIGN_BAND_BITS
+) -> str:
+    """DuckDB twin of :func:`sign_band_keys_from_quant` (an int list)."""
+    keys = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"CASE WHEN ({qvec})[{b * bits + p + 1}] > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(bits)
+        )
+        keys.append(f"CAST({b * (1 << bits)} + {terms} AS INTEGER)")
+    return "[" + ", ".join(keys) + "]"
 
 
 def cosine_topk_hyperplane(
