@@ -761,14 +761,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, spend_cents,
                    CAST(ROW_NUMBER() OVER (ORDER BY spend_cents DESC, o_custkey) AS INTEGER) AS rk
             FROM per_cust QUALIFY rk <= 10""",
+        # two CTE stages so evaluation order is explicit: Spark applies
+        # parse_regexp AFTER masking, so the oracle must extract kval
+        # from the MASKED text, not the raw column (a single-SELECT
+        # form would resolve `text` to the raw column).
         "stream_pipeline": f"""{_T},
-            tx AS (
+            masked AS (
               SELECT conv_id, turn_idx, role,
                      regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS text,
-                     tool, ts,
-                     CASE WHEN regexp_matches(text, 'k=([0-9]+)')
-                          THEN regexp_extract(text, 'k=([0-9]+)', 1) END AS kval
+                     tool, ts
               FROM transcripts
+            ),
+            tx AS (
+              SELECT *, CASE WHEN regexp_matches(text, 'k=([0-9]+)')
+                             THEN regexp_extract(text, 'k=([0-9]+)', 1) END AS kval
+              FROM masked
             )
             SELECT *, 'tools' AS route FROM tx WHERE role = 'tool'
             UNION ALL
@@ -834,11 +841,15 @@ def oracle_sql() -> dict[str, str]:
             FROM media, unnest(list_filter(
                  generate_series(0, CAST(floor(length(text) / {MM.FRAME_BYTES}) AS INTEGER) - 1),
                  f -> f % {MM.FRAME_STRIDE} = 0)) t(f)""",
+        # LEFT JOIN LATERAL so an empty payload still yields one row of
+        # zeroed stats, matching the mapInPandas side (a plain cross
+        # join with an empty generate_series would drop the doc).
         "mm_features": f"""{_M}
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-                   CAST(SUM(ascii(substr(text, i, 1))) AS BIGINT) AS byte_sum,
-                   CAST(MIN(ascii(substr(text, i, 1))) AS INTEGER) AS byte_min,
-                   CAST(MAX(ascii(substr(text, i, 1))) AS INTEGER) AS byte_max
-            FROM media, unnest(generate_series(1, length(text))) t(i)
+                   CAST(COALESCE(SUM(ascii(substr(text, i, 1))), 0) AS BIGINT) AS byte_sum,
+                   CAST(COALESCE(MIN(ascii(substr(text, i, 1))), 0) AS INTEGER) AS byte_min,
+                   CAST(COALESCE(MAX(ascii(substr(text, i, 1))), 0) AS INTEGER) AS byte_max
+            FROM media LEFT JOIN LATERAL (
+                 SELECT unnest(generate_series(1, length(text))) AS i) t ON TRUE
             GROUP BY doc_id, length(text)""",
     }

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from vaero_spark.functions import text as TXT
 from vaero_spark.operators import dedup as DD
 from vaero_spark.operators import multimodal as MM
 from vaero_spark.operators import similarity as SIM
@@ -33,6 +34,20 @@ def emb(spark):
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
+
+def test_token_counts_respect_column_arg(spark):
+    """token_counts/quality_columns must read the column they're given,
+    not a hardcoded `text` (regression: a decoy `text` column exists)."""
+    df = spark.createDataFrame([("a b c!", "decoy")], ["body", "text"])
+    counts = TXT.token_counts("body")
+    row = df.select(*[c.alias(n) for n, c in counts.items()]).first()
+    assert row.n_ws_tokens == 3
+    assert row.n_bpe_tokens == 4  # a | b | c | !
+    quality = TXT.quality_columns("body")
+    row2 = df.select(*[c.alias(n) for n, c in quality.items()]).first()
+    assert row2.n_tokens == 3
+    assert row2.punct_bp == 10000 // 6  # one '!' over six chars
+
 
 def test_minhash_finds_all_planted_neardups(spark, docs_nd):
     planted = {

@@ -89,9 +89,9 @@ def token_counts(col: str | Column) -> dict[str, Column]:
     return {
         "n_chars": F.length(c).cast("bigint"),
         "n_ws_tokens": F.size(tokens(c)).cast("bigint"),
-        "n_bpe_tokens": F.size(F.expr(f"regexp_extract_all(text, '{BPE_TOKEN_RE}', 0)")).cast(
-            "bigint"
-        ),
+        "n_bpe_tokens": F.size(
+            F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).cast("bigint"),
     }
 
 
@@ -123,7 +123,9 @@ def quality_columns(col: str | Column) -> dict[str, Column]:
     tok = tokens(c)
     n_tok = F.size(tok).cast("bigint")
     n_stop = _stop_count(tok, STOPWORDS["en"]).cast("bigint")
-    n_punct = F.size(F.expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all(c, F.lit("[^A-Za-z0-9 ]"), F.lit(0))
+    ).cast("bigint")
     stop_bp = F.floor(F.lit(10000) * n_stop / F.greatest(n_tok, F.lit(1))).cast("bigint")
     punct_bp = F.floor(
         F.lit(10000) * n_punct / F.greatest(F.length(c).cast("bigint"), F.lit(1))
