@@ -118,9 +118,13 @@ class Vaero:
 
     # ---- sinks ----
     def sink(self, op: str, **args: Any) -> "Vaero":
+        """Sink node; defaults mirror the reference's ``stream.py:36-38``
+        (timestamp_key adapted to the transcripts schema's ``ts``)."""
         args.setdefault("batch_max_time", 300.0)
         args.setdefault("batch_max_bytes", 1_000_000)
         args.setdefault("filename_prefix", "%Y/%m/%d")
+        args.setdefault("filename_format", "%s.log")
+        args.setdefault("timestamp_key", "ts")
         return self._append("sink", op, args)
 
     def stdout(self) -> "Vaero":

@@ -51,12 +51,32 @@ class ExactlyOnceParquetSink:
     default ``%Y/%m/%d`` ⇒ ``yyyy-MM-dd`` here), and rows with null ts
     are dropped + counted, mirroring its silent unparseable-ts drop
     (``sinkNode.go:86-89``) but observable in the manifest.
+
+    Optional reference-parity flush semantics (wired from DSL sink args
+    by :func:`default_sink_factory`):
+
+    - ``batch_max_bytes`` (``sinkNode.go:105-125``): events are packed
+      into byte-capped files per prefix — ``file_seq`` = which
+      ``batch_max_bytes`` block the event's running JSON-byte total
+      falls into (one window pass reusing the prefix partitioning;
+      deterministic block packing, vs the reference's greedy
+      reset-on-flush — boundaries may differ by at most one event per
+      file, documented divergence; exact greedy parity lives in
+      ``operators/state.byte_cap_flush``).
+    - ``filename_format`` (``sinkNode.go:190-225``): ``window_file``
+      column = strftime of the LAST event's ts in the (prefix,
+      file_seq) buffer — ``%s`` = epoch seconds like the reference's
+      strftime.WithUnixSeconds. Fallback name is deterministic
+      (epoch/prefix/seq) instead of a UUID so re-delivered epochs stay
+      idempotent (documented divergence).
     """
 
     path: str
     prefix_format: str = "yyyy-MM-dd"
     ts_col: str = "ts"
     order_cols: tuple = ("conv_id", "turn_idx")
+    filename_format: str | None = None  # strftime; e.g. "%s.log"
+    batch_max_bytes: int | None = None  # byte-cap file splitting
     # Parquet dictionary encoding is a pure loss on high-cardinality
     # text (every transcript turn is unique): the encoder hashes every
     # string, overflows the dictionary page, and falls back to plain
@@ -103,16 +123,57 @@ class ExactlyOnceParquetSink:
         epoch_dir = os.path.join(self.path, "data", f"epoch={epoch_id}")
         if has_ts and self.repartition_by_prefix:
             df = df.repartition(F.col("prefix"))
-        writer = (
-            df.sortWithinPartitions(*(["prefix"] if has_ts else []), *order)
-            if order
-            else df
-        )
+
+        part_cols = ["prefix"] if has_ts else []
+        if has_ts and (self.batch_max_bytes or self.filename_format):
+            # both windows partition by prefix, so they reuse the
+            # repartition above — no additional shuffle, one sort.
+            from pyspark.sql import Window
+
+            from vaero_spark.functions.timefmt import ts_strftime_column
+
+            data_cols = [c for c in batch_df.columns]
+            if self.batch_max_bytes:
+                ev_bytes = F.octet_length(
+                    F.to_json(
+                        F.struct(*[F.col(c) for c in data_cols]),
+                        {"ignoreNullFields": "false"},
+                    )
+                ) + F.lit(1)  # + newline, like the reference's "\n".join
+                wseq = Window.partitionBy("prefix").orderBy(
+                    F.col(self.ts_col), *[F.col(c) for c in order]
+                )
+                cum = F.sum(ev_bytes.cast("long")).over(wseq)
+                df = df.withColumn(
+                    "file_seq",
+                    F.floor((cum - F.lit(1)) / F.lit(self.batch_max_bytes)).cast("int"),
+                )
+                part_cols.append("file_seq")
+            else:
+                df = df.withColumn("file_seq", F.lit(0).cast("int"))
+            if self.filename_format:
+                wmax = Window.partitionBy("prefix", "file_seq")
+                fallback = F.concat_ws(
+                    "-", F.lit(f"epoch-{epoch_id}"), F.col("prefix"), F.col("file_seq")
+                )
+                df = df.withColumn(
+                    "window_file",
+                    F.coalesce(
+                        ts_strftime_column(
+                            F.max(self.ts_col).over(wmax), self.filename_format
+                        ),
+                        fallback,
+                    ),
+                )
+            if not self.batch_max_bytes:
+                df = df.drop("file_seq")
+
+        writer = df.sortWithinPartitions(*part_cols, *order) if order else df
         w = writer.write.mode("overwrite").option(
             "parquet.enable.dictionary", str(self.dictionary).lower()
         )
-        if has_ts:
-            w = w.partitionBy("prefix")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
         w.parquet(epoch_dir)
 
         try:
@@ -267,12 +328,26 @@ class HttpStubSink:
 
 def default_sink_factory(base_dir: str) -> Callable[[str, object], object]:
     """Map DSL sink ops to sink implementations (reference sink registry:
-    ``execute/sinkNode.go`` switch + ``integrations/sinks/*``)."""
+    ``execute/sinkNode.go`` switch + ``integrations/sinks/*``), wiring
+    the DSL's sink args through: strftime ``filename_prefix`` /
+    ``filename_format`` are translated for the writer, ``timestamp_key``
+    picks the event-time column, ``batch_max_bytes`` switches on
+    byte-capped file splitting. (``batch_max_time`` is a flush-interval
+    bound — it clamps the query trigger, see
+    ``streaming.engine.derive_trigger_seconds``.)"""
+    from vaero_spark.functions.timefmt import strftime_to_java
 
     def factory(name: str, node=None) -> object:
         op = getattr(node, "op", None) or name.split("#")[0]
+        args = dict(getattr(node, "args", None) or {})
         if op in ("s3", "parquet", "iceberg", "file"):
-            return ExactlyOnceParquetSink(os.path.join(base_dir, name))
+            return ExactlyOnceParquetSink(
+                os.path.join(base_dir, name),
+                prefix_format=strftime_to_java(args.get("filename_prefix", "%Y/%m/%d")),
+                ts_col=args.get("timestamp_key", "ts"),
+                filename_format=args.get("filename_format", "%s.log"),
+                batch_max_bytes=args.get("batch_max_bytes"),
+            )
         if op in ("datadog", "elastic", "splunk", "http"):
             return HttpStubSink(op)
         if op == "memory":

@@ -87,15 +87,43 @@ def compile_stream(
     return src, taps
 
 
+def derive_trigger_seconds(plan: Plan) -> float | None:
+    """Trigger policy from the DSL args: the source's poll ``interval``
+    (``/root/reference/execute/execute.go:99-110``) CLAMPED by the
+    smallest sink ``batch_max_time`` (the reference's time-cap flush
+    fires ``batch_max_time`` after buffer creation,
+    ``sinkNode.go:242-254`` — our epoch IS the flush unit, so the query
+    must trigger at least that often). None when the plan carries no
+    timing args (ASAP triggers — the default in tests).
+    """
+    bounds = []
+    interval = plan.root.args.get("interval")
+    if interval:
+        bounds.append(float(interval))
+
+    def walk(node: OpNode) -> None:
+        if node.type == "sink" and node.args.get("batch_max_time"):
+            bounds.append(float(node.args["batch_max_time"]))
+        for ch in node.children:
+            walk(ch)
+
+    walk(plan.root)
+    return min(bounds) if bounds else None
+
+
 def run_streaming_plan(
     spark: SparkSession,
     plan: Plan,
     checkpoint_dir: str,
     sink_factory: Callable[[str, OpNode], object],
-    trigger_seconds: float | None = None,
+    trigger_seconds: float | str | None = None,
     query_name: str = "vaero_pipeline",
 ) -> StreamingPipeline:
     """Start the pipeline as ONE streaming query with multi-sink fan-out.
+
+    ``trigger_seconds="auto"`` derives the trigger from the plan's DSL
+    timing args (source interval clamped by sink batch_max_time) via
+    :func:`derive_trigger_seconds`; None keeps ASAP triggers.
 
     When every sink taps the same final DataFrame we write it directly;
     with mid-chain taps each sink's DataFrame shares the source but is
@@ -104,6 +132,8 @@ def run_streaming_plan(
     same scan. (Multiple queries would double-read the source AND
     double the state stores.)
     """
+    if trigger_seconds == "auto":
+        trigger_seconds = derive_trigger_seconds(plan)
     _, taps = compile_stream(spark, plan)
     if not taps:
         raise ValueError("plan has no sinks")
