@@ -134,10 +134,26 @@ def run_streaming_plan(
     """
     if trigger_seconds == "auto":
         trigger_seconds = derive_trigger_seconds(plan)
+    # Execute secrets specs now and keep resolvers for per-epoch refresh
+    # (reference: getSecrets at job start + the execute.go:84-96 loop).
+    from vaero_spark.secrets import resolve_plan_secrets
+
+    resolvers = resolve_plan_secrets(plan)
     _, taps = compile_stream(spark, plan)
     if not taps:
         raise ValueError("plan has no sinks")
     sinks = {name: sink_factory(name, node) for name, node, _ in taps}
+
+    def _with_refresh(inner):
+        if not resolvers:
+            return inner
+
+        def fb(df, epoch_id):
+            for r in resolvers:
+                r.refresh_if_stale()
+            inner(df, epoch_id)
+
+        return fb
 
     # Single-sink fast path: hand the DataFrame straight to foreachBatch.
     if len(taps) == 1:
@@ -145,7 +161,7 @@ def run_streaming_plan(
         writer = (
             df.writeStream.queryName(query_name)
             .option("checkpointLocation", checkpoint_dir)
-            .foreachBatch(sinks[name].foreach_batch())
+            .foreachBatch(_with_refresh(sinks[name].foreach_batch()))
         )
         if trigger_seconds:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
