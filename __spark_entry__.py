@@ -378,6 +378,39 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+HTTP_INGEST_TS = "2024-03-02T00:00:00Z"  # pinned replay clock
+HTTP_INGEST_ADDR = "127.0.0.1:0"
+
+
+def q_http_ingest(spark, sf_dir):
+    """HTTP push source, batch-replay form: request bodies = one JSON
+    array per conversation; the Spark-side jsonarray breaker
+    (from_json + explode) plus the automatic timestamp/remoteaddr
+    enrichment must round-trip every turn (reference
+    source_http_server.go:57-96, breaker source_python.go:71-103).
+    The live server path (HTTP POST → spool → file stream) is
+    integration-tested in tests/test_http_source.py; here the clock and
+    remote address are pinned so the oracle is bit-exact."""
+    from vaero_spark.sources.http_server import replay_json_array_batch
+
+    t = load_transcripts(spark, sf_dir)
+    payload = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz"
+    )
+    from vaero_spark.sources.http_server import JSON_TS_OPTIONS
+
+    bodies = t.groupBy("conv_id").agg(
+        F.to_json(
+            F.collect_list(
+                F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            ),
+            JSON_TS_OPTIONS,
+        ).alias("body")
+    )
+    return replay_json_array_batch(bodies, payload, HTTP_INGEST_TS, HTTP_INGEST_ADDR)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings / media)
 # ---------------------------------------------------------------------------
@@ -517,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
         "stream_join": q_stream_join,
+        "http_ingest": q_http_ingest,
         "txt_tokens": q_txt_tokens,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
@@ -781,6 +815,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT *, 'rest' AS route FROM tx WHERE role != 'tool'""",
         "stream_dedup": f"{_TD} SELECT DISTINCT * FROM transcripts_dup",
+        # push ingestion round-trip: break(join(events)) == events + the
+        # two automatic fields
+        "http_ingest": f"""{_T}
+            SELECT conv_id, turn_idx, role, text, tool, ts,
+                   '{HTTP_INGEST_TS}' AS "timestamp",
+                   '{HTTP_INGEST_ADDR}' AS remoteaddr
+            FROM transcripts""",
         # identical result set to the batch w_session oracle — streamed
         # (watermark + state-store session merge) == batch
         "stream_session": _W_SESSION_SQL,

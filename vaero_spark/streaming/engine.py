@@ -29,16 +29,20 @@ from vaero_spark.sources.transcripts import transcripts_stream
 
 @dataclass
 class StreamingPipeline:
-    """A started pipeline: the query handle + its sinks."""
+    """A started pipeline: the query handle + its sinks (+ any push
+    servers / pollers owned by the source)."""
 
     query: object  # StreamingQuery
     sinks: dict[str, object]
+    servers: list = None  # push servers / pollers to stop with the query
 
     def process_all(self) -> None:
         self.query.processAllAvailable()
 
     def stop(self) -> None:
         self.query.stop()
+        for s in self.servers or []:
+            s.stop()
 
 
 def _resolve_stream_source(spark: SparkSession, node: OpNode) -> DataFrame:
@@ -52,6 +56,21 @@ def _resolve_stream_source(spark: SparkSession, node: OpNode) -> DataFrame:
             .option("rowsPerSecond", str(node.args.get("rows_per_second", 1000)))
             .load()
         )
+    if node.op == "http_server":
+        # push source (ref source_http_server.go:30-96): start the
+        # server now; its spool feeds an exactly-once file stream. The
+        # live handle is stashed on the node so run_streaming_plan can
+        # stop it with the query.
+        from vaero_spark.sources.http_server import HttpPushSource
+
+        src = HttpPushSource(
+            port=int(node.args.get("port", 0)),
+            endpoint=node.args.get("endpoint", "/"),
+            spool_dir=node.args["spool_dir"],
+        ).start()
+        node.args["_server"] = src
+        node.args["port"] = src.port  # resolved port for port=0
+        return src.stream(spark, node.args["schema"])
     raise ValueError(f"unknown stream source {node.op!r}")
 
 
@@ -165,7 +184,8 @@ def run_streaming_plan(
         )
         if trigger_seconds:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        return StreamingPipeline(writer.start(), sinks)
+        servers = [plan.root.args["_server"]] if plan.root.args.get("_server") else []
+        return StreamingPipeline(writer.start(), sinks, servers=servers)
 
     # Multi-sink: all taps must share the same stream DataFrame lineage —
     # foreachBatch receives the *final* df; per-sink filters/projections
