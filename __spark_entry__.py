@@ -381,6 +381,59 @@ def q_stream_join(spark, sf_dir):
 HTTP_INGEST_TS = "2024-03-02T00:00:00Z"  # pinned replay clock
 HTTP_INGEST_ADDR = "127.0.0.1:0"
 
+API_SINCE = "2024-01-02T00:00:00.000000"  # pinned initial cursor
+
+
+def q_api_paginated(spark, sf_dir):
+    """Cursor-paginated API source, batch-replay form: a deterministic
+    stub endpoint (pages derived from the events table, served
+    time-ordered with the okta-style 1 s sloppy lower bound) is drained
+    through the REAL connector — persistent cursor, pagination,
+    max-events-per-poll, late/duplicate gate — into the spool, then
+    read back. The oracle is simply the events table at/after the
+    initial cursor: the gate must drop exactly the pre-cursor slop and
+    multi-poll pagination must neither lose nor duplicate a page
+    (reference vaero_cdk/api_cursor.py:20-31, source_okta.py:91-130).
+    The poller is a driver-side ingestion shim BY DESIGN — the same
+    role as the reference's Python subprocess feeding the Go channel;
+    the distributed path is the exactly-once file stream over its
+    spool (resume-from-kill pytest in tests/test_paginated_api.py)."""
+    import tempfile
+
+    from vaero_spark.sources.paginated_api import (
+        ISO,
+        ApiCursor,
+        PaginatedApiSource,
+        pages_from_rows,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    rows = [
+        {
+            "event_id": r.event_id,
+            "ts": r.ts.strftime(ISO),
+            "user_id": r.user_id,
+            "event_type": r.event_type,
+        }
+        for r in ev.collect()
+    ]
+    work = tempfile.mkdtemp(prefix="vaero_api_")
+    cur = ApiCursor()
+    cur.cursor = {"since": API_SINCE}
+    cur.store(f"{work}/cursor.json")
+    src = PaginatedApiSource(
+        pages_from_rows(rows, page_size=500),
+        spool_dir=f"{work}/spool",
+        cursor_path=f"{work}/cursor.json",
+        max_events_per_poll=2000,
+    )
+    src.poll_until_exhausted()
+    return spark.read.schema(
+        "event_id long, ts string, user_id long, event_type string"
+    ).json(f"{work}/spool")
+
 
 def q_http_ingest(spark, sf_dir):
     """HTTP push source, batch-replay form: request bodies = one JSON
@@ -551,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session": q_stream_session,
         "stream_join": q_stream_join,
         "http_ingest": q_http_ingest,
+        "api_paginated": q_api_paginated,
         "txt_tokens": q_txt_tokens,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
@@ -822,6 +876,12 @@ def oracle_sql() -> dict[str, str]:
                    '{HTTP_INGEST_TS}' AS "timestamp",
                    '{HTTP_INGEST_ADDR}' AS remoteaddr
             FROM transcripts""",
+        # cursor gate: exactly the events at/after the initial cursor,
+        # each exactly once across polls/pages
+        "api_paginated": f"""
+            SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts,
+                   user_id, event_type
+            FROM events WHERE ts >= TIMESTAMP '{API_SINCE.replace("T", " ")}'""",
         # identical result set to the batch w_session oracle — streamed
         # (watermark + state-store session merge) == batch
         "stream_session": _W_SESSION_SQL,

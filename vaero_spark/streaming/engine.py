@@ -71,6 +71,28 @@ def _resolve_stream_source(spark: SparkSession, node: OpNode) -> DataFrame:
         node.args["_server"] = src
         node.args["port"] = src.port  # resolved port for port=0
         return src.stream(spark, node.args["schema"])
+    if node.op in ("paginated_api", "okta", "google_workspace"):
+        # pull source (ref vaero_cdk + source_okta.py): a driver-side
+        # poller with persistent cursor / rate limit / backoff / late
+        # gate, spooling into an exactly-once file stream. okta and
+        # google_workspace are this generic connector with their own
+        # fetch_page + event-time key.
+        from vaero_spark.sources.paginated_api import (
+            PaginatedApiSource,
+            SteadyRateLimiter,
+        )
+
+        src = PaginatedApiSource(
+            fetch_page=node.args["fetch_page"],
+            spool_dir=node.args["spool_dir"],
+            cursor_path=node.args["cursor_path"],
+            event_time_key=node.args.get("event_time_key", "ts"),
+            max_events_per_poll=node.args.get("max_events_per_poll"),
+            rate=SteadyRateLimiter(float(node.args.get("rate_increment", 0.0))),
+        )
+        src.start_polling(float(node.args.get("interval", 10.0)))
+        node.args["_server"] = src
+        return src.stream(spark, node.args["schema"])
     raise ValueError(f"unknown stream source {node.op!r}")
 
 
