@@ -242,7 +242,10 @@ def run_scaling(sf_dir: str) -> dict:
     disk/page-cache state, and best-of-N is the closest estimator of
     unimpeded per-level capability.
     """
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
+    # default 2: single-box run-to-run variance (host steal, page cache)
+    # put a one-trial efficiency anywhere in 0.80-0.96 across rounds;
+    # best-of-2 is the closest estimator of unimpeded per-level capability
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
     runs: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
     for _ in range(trials):

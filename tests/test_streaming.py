@@ -205,6 +205,42 @@ def test_multi_sink_fanout_exactly_once(spark, tmp_path):
         assert got == want, name
 
 
+def test_multi_sink_dsl_plan_fanout(spark, tmp_path):
+    """A branched DSL plan through run_streaming_plan: the common tn
+    prefix (mask) must be applied once and visible in BOTH branches;
+    each branch sees only its route; exactly-once sinks."""
+    from vaero_spark.dsl import Vaero
+    from vaero_spark.streaming.engine import run_streaming_plan
+
+    src = tmp_path / "src"
+    write_transcripts_parquet(str(src), n_files=3, n_turns=600, n_convs=15, seed=29)
+
+    v = Vaero().source("transcripts", path=str(src), max_files_per_trigger=1)
+    shared = v.mask("text", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
+    shared.filter_regexp("role", "^user$").add("route", "users").sink("parquet", name="users")
+    shared.filter_regexp("role", "^tool$").add("route", "tools").sink("parquet", name="tools")
+
+    from vaero_spark.sinks.writers import default_sink_factory
+
+    pipe = run_streaming_plan(
+        spark,
+        v.plan(),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink_factory=default_sink_factory(str(tmp_path / "sinks")),
+    )
+    pipe.process_all()
+    pipe.stop()
+
+    full = spark.read.parquet(str(src))
+    for name, role in [("users", "user"), ("tools", "tool")]:
+        got = pipe.sinks[name].read_committed(spark)
+        assert got.count() == full.filter(F.col("role") == role).count(), name
+        assert got.select("route").distinct().collect()[0].route == name
+        # the shared mask ran before the fork: no raw emails survive
+        assert got.filter(F.col("text").rlike("@[A-Za-z0-9.-]+[.]")).count() == 0
+        assert got.filter(F.col("text").contains("<EMAIL>")).count() > 0, name
+
+
 def test_metrics_listener_lineage(spark, tmp_path):
     src = tmp_path / "src"
     write_transcripts_parquet(str(src), n_files=2, n_turns=400, n_convs=10, seed=17)

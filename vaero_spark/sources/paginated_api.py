@@ -142,6 +142,7 @@ class PaginatedApiSource:
         since = self._parse(since_s) if since_s else None
 
         events: list[dict] = []
+        times: list[datetime] = []  # parsed once, reused for the cursor
         page_token: int | None = None
         while True:
             self.rate.wait(sleep=self._sleep)
@@ -156,8 +157,10 @@ class PaginatedApiSource:
             # drop strictly-earlier ones (source_okta.py:91-113; the
             # cursor itself is already +1 tick past the last event)
             for ev in page:
-                if since is None or self._parse(ev[self.event_time_key]) >= since:
+                t = self._parse(ev[self.event_time_key])
+                if since is None or t >= since:
                     events.append(ev)
+                    times.append(t)
             if page_token is None:
                 break
             if self.max_events_per_poll and len(events) >= self.max_events_per_poll:
@@ -177,7 +180,7 @@ class PaginatedApiSource:
         os.replace(tmp, os.path.join(self.spool_dir, name))
 
         # cursor advance = max(event time) + 1 µs (source_okta.py:122-130)
-        last = max(self._parse(ev[self.event_time_key]) for ev in events)
+        last = max(times)
         cur.cursor = {"since": (last + timedelta(microseconds=1)).strftime(ISO)}
         cur.store(self.cursor_path)
         return len(events)
@@ -233,23 +236,29 @@ def pages_from_rows(
 ) -> Callable:
     """Build a deterministic stub endpoint from in-memory rows — the
     test/replay stand-in for a real REST API. Serves time-ordered pages
-    filtered by ``since`` (like the okta System Log API)."""
+    filtered by ``since`` (like the okta System Log API). Timestamps
+    are parsed ONCE and the ``since`` lower bound is a bisect, so a
+    fetch is O(page_size) — a naive per-fetch rescan made the sf0.1
+    replay O(pages × corpus) and dominated the whole bench suite."""
+    from bisect import bisect_left
+
     ordered = sorted(rows, key=lambda r: (r[event_time_key], json.dumps(r, sort_keys=True)))
+    times = [datetime.strptime(r[event_time_key], ISO) for r in ordered]
 
     def fetch_page(since_s, page_token):
-        data = ordered
+        lo = 0
         if since_s:
             # APIs are imprecise at the boundary: return events from 1 s
             # BEFORE the cursor too (the okta behavior the gate fixes)
             cutoff = datetime.strptime(since_s, ISO) - timedelta(seconds=1)
-            data = [
-                r
-                for r in ordered
-                if datetime.strptime(r[event_time_key], ISO) >= cutoff
-            ]
-        start = page_token or 0
-        page = data[start : start + page_size]
-        next_token = start + page_size if start + page_size < len(data) else None
+            lo = bisect_left(times, cutoff)
+        start = lo + (page_token or 0)
+        page = ordered[start : start + page_size]
+        next_token = (
+            (page_token or 0) + page_size
+            if start + page_size < len(ordered)
+            else None
+        )
         return page, next_token
 
     return fetch_page

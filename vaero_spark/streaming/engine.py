@@ -152,6 +152,44 @@ def derive_trigger_seconds(plan: Plan) -> float | None:
     return min(bounds) if bounds else None
 
 
+def _sink_chains(plan: Plan) -> list[tuple[str, OpNode, list[OpNode]]]:
+    """[(sink_name, sink_node, tn-nodes from source to sink), ...] —
+    a post-sink continuation keeps extending the same chain
+    (``transformNode.go:58-62``), a >1-child node forks it."""
+    chains: list[tuple[str, OpNode, list[OpNode]]] = []
+    ctr = [0]
+
+    def walk(node: OpNode, acc: list[OpNode]) -> None:
+        while True:
+            if node.type == "tn":
+                acc = acc + [node]
+            elif node.type == "sink":
+                name = node.args.get("name") or f"{node.op}#{ctr[0]}"
+                ctr[0] += 1
+                chains.append((name, node, acc))
+            if not node.children:
+                return
+            if len(node.children) == 1:
+                node = node.children[0]
+                continue
+            for child in node.children:
+                walk(child, acc)
+            return
+
+    for child in plan.root.children:
+        walk(child, [])
+    return chains
+
+
+def _apply_chain(ops: list[OpNode]):
+    def fn(df: DataFrame) -> DataFrame:
+        for node in ops:
+            df = apply_tn(df, node.op, node.args)
+        return df
+
+    return fn
+
+
 def run_streaming_plan(
     spark: SparkSession,
     plan: Plan,
@@ -166,12 +204,15 @@ def run_streaming_plan(
     timing args (source interval clamped by sink batch_max_time) via
     :func:`derive_trigger_seconds`; None keeps ASAP triggers.
 
-    When every sink taps the same final DataFrame we write it directly;
-    with mid-chain taps each sink's DataFrame shares the source but is
-    recomputed per epoch — acceptable because Spark caches the file
-    listing per trigger and all branches are narrow transforms of the
-    same scan. (Multiple queries would double-read the source AND
-    double the state stores.)
+    Single sink: the whole chain stays stream-side (cross-epoch state —
+    watermarks, dedup, windows — works). Multiple sinks: one
+    foreachBatch fan-out via :func:`run_streaming_fanout` — the longest
+    common tn prefix is applied ONCE per epoch and persisted, each
+    branch's suffix derives from it (the reference's single
+    transformNode feeding every sink, ``transformNode.go:36-62``, with
+    exactly-once). Branch suffixes run batch-mode per epoch, so they
+    must be stateless transforms (the reference's branches are exactly
+    that); put stateful ops before the fork or use a single-sink plan.
     """
     if trigger_seconds == "auto":
         trigger_seconds = derive_trigger_seconds(plan)
@@ -180,10 +221,12 @@ def run_streaming_plan(
     from vaero_spark.secrets import resolve_plan_secrets
 
     resolvers = resolve_plan_secrets(plan)
-    _, taps = compile_stream(spark, plan)
-    if not taps:
+    chains = _sink_chains(plan)
+    if not chains:
         raise ValueError("plan has no sinks")
-    sinks = {name: sink_factory(name, node) for name, node, _ in taps}
+    src = _resolve_stream_source(spark, plan.root)
+    sinks = {name: sink_factory(name, node) for name, node, _ in chains}
+    servers = [plan.root.args["_server"]] if plan.root.args.get("_server") else []
 
     def _with_refresh(inner):
         if not resolvers:
@@ -197,8 +240,9 @@ def run_streaming_plan(
         return fb
 
     # Single-sink fast path: hand the DataFrame straight to foreachBatch.
-    if len(taps) == 1:
-        name, node, df = taps[0]
+    if len(chains) == 1:
+        name, node, ops = chains[0]
+        df = _apply_chain(ops)(src)
         writer = (
             df.writeStream.queryName(query_name)
             .option("checkpointLocation", checkpoint_dir)
@@ -206,17 +250,44 @@ def run_streaming_plan(
         )
         if trigger_seconds:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        servers = [plan.root.args["_server"]] if plan.root.args.get("_server") else []
         return StreamingPipeline(writer.start(), sinks, servers=servers)
 
-    # Multi-sink: all taps must share the same stream DataFrame lineage —
-    # foreachBatch receives the *final* df; per-sink filters/projections
-    # are re-derived per epoch from the persisted batch.
-    # We re-walk the tn chains batch-side: compile each tap as a function
-    # of the persisted source batch.
-    raise NotImplementedError(
-        "multi-sink streaming uses run_streaming_fanout(); see below"
+    # Multi-sink: factor the longest common tn prefix (by node identity)
+    # into the persisted common_fn; each branch applies only its suffix.
+    prefix_len = 0
+    shortest = min(len(ops) for _, _, ops in chains)
+    while prefix_len < shortest and all(
+        ops[prefix_len] is chains[0][2][prefix_len] for _, _, ops in chains
+    ):
+        prefix_len += 1
+    common = chains[0][2][:prefix_len]
+    branch_fns = {
+        name: _apply_chain(ops[prefix_len:]) for name, _, ops in chains
+    }
+    pipe = run_streaming_fanout(
+        spark,
+        src,
+        branch_fns,
+        sink_factory=lambda name: sinks[name],
+        checkpoint_dir=checkpoint_dir,
+        trigger_seconds=trigger_seconds,
+        query_name=query_name,
+        common_fn=_with_refresh_common(resolvers, _apply_chain(common)),
     )
+    pipe.servers = servers
+    return pipe
+
+
+def _with_refresh_common(resolvers, common_fn):
+    if not resolvers:
+        return common_fn
+
+    def fn(df: DataFrame) -> DataFrame:
+        for r in resolvers:
+            r.refresh_if_stale()
+        return common_fn(df)
+
+    return fn
 
 
 def run_streaming_fanout(
