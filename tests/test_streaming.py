@@ -241,6 +241,46 @@ def test_multi_sink_dsl_plan_fanout(spark, tmp_path):
         assert got.filter(F.col("text").contains("<EMAIL>")).count() > 0, name
 
 
+def test_checkpoint_refuses_changed_plan(spark, tmp_path):
+    """Resume with the SAME plan works; a semantically different plan on
+    the same checkpoint is refused loudly (SURVEY §3: resume must
+    validate plan compatibility — Spark alone would silently resume
+    with changed transforms)."""
+    import pytest as _pytest
+
+    from vaero_spark.dsl import Vaero
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.streaming.engine import run_streaming_plan
+
+    src = tmp_path / "src"
+    write_transcripts_parquet(str(src), n_files=2, n_turns=200, n_convs=5, seed=31)
+    ckpt = str(tmp_path / "ckpt")
+
+    def build(regexp: str):
+        v = Vaero().source("transcripts", path=str(src), max_files_per_trigger=1)
+        return v.mask("text", regexp, "<X>").sink("memory", name="out").plan()
+
+    sink = MemorySink()
+    pipe = run_streaming_plan(
+        spark, build("error"), ckpt, sink_factory=lambda n, node: sink
+    )
+    pipe.process_all()
+    pipe.stop()
+
+    # same plan (rebuilt — identity differs, semantics equal): resumes
+    pipe2 = run_streaming_plan(
+        spark, build("error"), ckpt, sink_factory=lambda n, node: sink
+    )
+    pipe2.process_all()
+    pipe2.stop()
+
+    # changed transform arg: refused before any query starts
+    with _pytest.raises(ValueError, match="different pipeline"):
+        run_streaming_plan(
+            spark, build("warning"), ckpt, sink_factory=lambda n, node: sink
+        )
+
+
 def test_metrics_listener_lineage(spark, tmp_path):
     src = tmp_path / "src"
     write_transcripts_parquet(str(src), n_files=2, n_turns=400, n_convs=10, seed=17)

@@ -64,6 +64,48 @@ def plan_to_json(plan: Plan) -> str:
     return plan.to_json()
 
 
+def plan_fingerprint(plan: Plan) -> str:
+    """Semantic fingerprint for checkpoint compatibility (SURVEY §3:
+    "resume must validate plan compatibility"). Spark's checkpoint only
+    protects offsets and state-store schema — it happily resumes a
+    query whose TRANSFORMS changed, silently altering semantics
+    mid-stream. The fingerprint hashes the op graph's semantics-bearing
+    parts and skips the volatile ones:
+
+    - keys starting with ``_`` (live handles injected at resolve time),
+    - arg names filled by a ``secret`` spec (values rotate legitimately;
+      the spec itself — command, names, cadence — IS hashed),
+    - non-JSON-serializable values (callables like ``fetch_page``) —
+      hashed by their fully-qualified name instead, not their identity.
+    """
+    import hashlib
+
+    def norm_node(node: OpNode) -> dict:
+        secret_args = set()
+        spec = node.args.get("secret")
+        if isinstance(spec, dict):
+            for pair in spec.get("secrets", []):
+                secret_args.update(pair.values())
+        args = {}
+        for k, v in sorted(node.args.items()):
+            if k.startswith("_") or k in secret_args:
+                continue
+            try:
+                json.dumps(v)
+            except TypeError:
+                v = getattr(v, "__qualname__", type(v).__name__)
+            args[k] = v
+        return {
+            "type": node.type,
+            "op": node.op,
+            "args": args,
+            "children": [norm_node(c) for c in node.children],
+        }
+
+    canon = json.dumps(norm_node(plan.root), sort_keys=True)
+    return hashlib.sha256(canon.encode()).hexdigest()[:32]
+
+
 def plan_from_json(text: str) -> Plan:
     """Decode the JSON array form back into an OpNode tree (the analog of
     the reference's ``genTaskGraph``, ``cmd/util.go:508-538``)."""

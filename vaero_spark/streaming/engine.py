@@ -216,6 +216,13 @@ def run_streaming_plan(
     """
     if trigger_seconds == "auto":
         trigger_seconds = derive_trigger_seconds(plan)
+    # Plan-compatibility gate BEFORE any resolution mutates args:
+    # Spark's checkpoint protects offsets/state, not transform
+    # semantics — resuming a checkpoint with a changed op chain would
+    # silently alter outputs mid-stream (SURVEY §3 lifecycle contract).
+    from vaero_spark.plans.plan import plan_fingerprint
+
+    _validate_checkpoint_plan(checkpoint_dir, plan_fingerprint(plan), plan)
     # Execute secrets specs now and keep resolvers for per-epoch refresh
     # (reference: getSecrets at job start + the execute.go:84-96 loop).
     from vaero_spark.secrets import resolve_plan_secrets
@@ -334,6 +341,33 @@ def run_streaming_fanout(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return StreamingPipeline(writer.start(), sinks)
+
+
+def _validate_checkpoint_plan(checkpoint_dir: str, fp: str, plan: Plan) -> None:
+    """First start: record {fingerprint, plan} beside the checkpoint.
+    Resume: refuse a semantically different plan (the control-plane
+    analog of the reference's task_graph column — its SQLite row IS the
+    job identity, ``cmd/util.go:144-177``)."""
+    import json as _json
+
+    meta_path = os.path.join(checkpoint_dir, "_vaero_plan.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = _json.load(f)
+        if stored["fingerprint"] != fp:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir!r} belongs to a different pipeline "
+                f"(stored plan fingerprint {stored['fingerprint']}, this plan "
+                f"{fp}): resuming would silently change semantics mid-stream. "
+                "Use a fresh checkpoint dir for the new plan, or rerun the "
+                "original plan."
+            )
+        return
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"fingerprint": fp, "plan": plan.serialize()}, f, default=str)
+    os.replace(tmp, meta_path)
 
 
 def checkpoint_root(base: str, job_name: str) -> str:
