@@ -104,6 +104,13 @@ class ExactlyOnceParquetSink:
 
         df = batch_df
         has_ts = self.ts_col in df.columns
+        if has_ts and dict(df.dtypes)[self.ts_col] == "string":
+            # sources that deliver event time as an ISO string (e.g. an
+            # API's `published` field through a JSON spool): the lenient
+            # string→timestamp cast mirrors the reference's sink-side
+            # parse, and unparseable values become null — the same
+            # silent-drop path as unparseable timestamps (sinkNode.go:86-89)
+            df = df.withColumn(self.ts_col, F.col(self.ts_col).cast("timestamp"))
         obs = Observation(f"sink_epoch_{epoch_id}")
         if has_ts:
             df = df.observe(
