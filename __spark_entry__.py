@@ -213,16 +213,79 @@ def q_top_customers(spark, sf_dir):
 # north-rule parity claim ("same output rows for the same input stream").
 # ---------------------------------------------------------------------------
 
+_GATE_INPUT_VERSION = "v2"  # bump when the derivation changes
+
+
+def _gate_stream_input(spark, sf_dir, variant: str) -> str:
+    """Deterministic, CACHED stream-input directory for the gate's
+    streaming queries (the driver replays the suite repeatedly; without
+    caching every invocation re-writes the same parquet). Variants:
+
+    - ``plain``   — transcripts, 8 files
+    - ``dupes``   — transcripts_with_dupes, 8 files
+    - ``session`` — transcripts in 7 files plus a far-future sentinel
+      turn written LAST as its own file, so the file source (ordered by
+      mtime) is GUARANTEED to deliver it in the final micro-batch: the
+      watermark only jumps past every session's end after all real rows
+      are in (the previous union+repartition landed the sentinel in a
+      hash-arbitrary file — it worked, but by accident of hashing).
+    """
+    import datetime
+    import os
+    import tempfile
+
+    from vaero_spark.sources.transcripts import (
+        TRANSCRIPTS_SCHEMA,
+        load_transcripts,
+        load_transcripts_with_dupes,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"vaero_gate_in_{_GATE_INPUT_VERSION}_{Path(sf_dir).name}_{variant}",
+    )
+    done = os.path.join(base, "_DONE")
+    inp = os.path.join(base, "in")
+    if os.path.exists(done):
+        return inp
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    if variant == "plain":
+        load_transcripts(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(inp)
+    elif variant == "dupes":
+        load_transcripts_with_dupes(spark, sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(inp)
+    elif variant == "session":
+        t = load_transcripts(spark, sf_dir)
+        t.repartition(7).write.mode("overwrite").parquet(inp)
+        mx = t.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [("__sentinel__", 0, "system", "", "", mx + datetime.timedelta(days=62))],
+            TRANSCRIPTS_SCHEMA,
+        )
+        # separate write AFTER the bulk → strictly later mtime → last batch
+        import time as _time
+
+        _time.sleep(1.1)  # distinct mtime second for the file source's ordering
+        sentinel.coalesce(1).write.mode("append").parquet(inp)
+    else:
+        raise ValueError(variant)
+    with open(done, "w") as fh:
+        fh.write(variant)
+    return inp
+
+
 def _stream_transcripts(spark, sf_dir, branch_fns, common_fn=None):
     import tempfile
 
     from vaero_spark.sinks.writers import ExactlyOnceParquetSink
-    from vaero_spark.sources.transcripts import load_transcripts, transcripts_stream
+    from vaero_spark.sources.transcripts import transcripts_stream
     from vaero_spark.streaming.engine import run_streaming_fanout
 
     work = tempfile.mkdtemp(prefix="vaero_q_stream_")
-    inp = f"{work}/in"
-    load_transcripts(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(inp)
+    inp = _gate_stream_input(spark, sf_dir, "plain")
     src = transcripts_stream(spark, inp, max_files_per_trigger=4)  # >1 epoch
     sinks = {n: ExactlyOnceParquetSink(f"{work}/{n}") for n in branch_fns}
     pipe = run_streaming_fanout(
@@ -263,10 +326,7 @@ def q_stream_dedup(spark, sf_dir):
     from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
 
     work = tempfile.mkdtemp(prefix="vaero_q_sdedup_")
-    inp = f"{work}/in"
-    load_transcripts_with_dupes(spark, sf_dir).repartition(8).write.mode(
-        "overwrite"
-    ).parquet(inp)
+    inp = _gate_stream_input(spark, sf_dir, "dupes")
     src = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
         .option("maxFilesPerTrigger", "4")
@@ -295,7 +355,6 @@ def q_stream_session(spark, sf_dir):
     mechanics. Watermark delay (60 days) exceeds the corpus time span,
     so no real row is ever late-dropped regardless of file→batch order.
     """
-    import datetime
     import tempfile
 
     from vaero_spark.operators.windows import session_windows
@@ -303,17 +362,11 @@ def q_stream_session(spark, sf_dir):
     from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
 
     work = tempfile.mkdtemp(prefix="vaero_q_ssess_")
-    t = load_transcripts(spark, sf_dir)
-    mx = t.agg(F.max("ts")).first()[0]
-    sentinel = spark.createDataFrame(
-        [("__sentinel__", 0, "system", "", "", mx + datetime.timedelta(days=62))],
-        TRANSCRIPTS_SCHEMA,
-    )
-    t.unionByName(sentinel).repartition(8).write.mode("overwrite").parquet(f"{work}/in")
+    inp = _gate_stream_input(spark, sf_dir, "session")
     src = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
         .option("maxFilesPerTrigger", "4")
-        .parquet(f"{work}/in")
+        .parquet(inp)
     )
     win = session_windows(src.withWatermark("ts", "60 days"), "30 minutes")
     sink = ExactlyOnceParquetSink(f"{work}/out", ts_col="min_ts", order_cols=("conv_id",))
@@ -347,13 +400,11 @@ def q_stream_join(spark, sf_dir):
     from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
 
     work = tempfile.mkdtemp(prefix="vaero_q_sjoin_")
-    load_transcripts(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(
-        f"{work}/in"
-    )
+    inp = _gate_stream_input(spark, sf_dir, "plain")
     src = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
         .option("maxFilesPerTrigger", "4")
-        .parquet(f"{work}/in")
+        .parquet(inp)
     )
     joined = streaming_user_tool_join(src, watermark="60 days", max_lag="4 hours")
     sink = ExactlyOnceParquetSink(
@@ -375,6 +426,85 @@ def q_stream_join(spark, sf_dir):
         F.col("tool_turn").alias("tool_turn"),
         "tool_name",
         "tool_ts",
+    )
+
+
+def q_stream_counters(spark, sf_dir):
+    """Per-conversation routing counters in CUSTOM state
+    (applyInPandasWithState, update mode — the 'routing counters' state
+    of the north star): drain the stream, keep each conversation's LAST
+    emission; the final counters must equal a batch GROUP BY —
+    bit-for-bit against the SQL oracle."""
+    import tempfile
+
+    from vaero_spark.operators.state import routing_counters
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_scnt_")
+    inp = _gate_stream_input(spark, sf_dir, "plain")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        routing_counters(src, watermark="60 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: later epochs supersede earlier emissions
+    for epoch_id, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = r
+    return spark.createDataFrame(
+        list(final.values()),
+        "conv_id string, n_total long, n_user long, n_tool long, n_error long",
+    )
+
+
+def q_stream_open_sessions(spark, sf_dir):
+    """Open-session tracking in CUSTOM state (applyInPandasWithState,
+    EventTimeTimeout — the reference's time-cap flush timer,
+    sinkNode.go:242-254, as real event-time state): a far-future
+    sentinel closes every session via watermark timeout; the emitted
+    closed=True rows must equal the batch session windows — an exact
+    SQL oracle for the stateful operator itself."""
+    import tempfile
+
+    from vaero_spark.operators.state import track_open_sessions
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_sopen_")
+    inp = _gate_stream_input(spark, sf_dir, "session")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        track_open_sessions(src, gap_seconds=1800, watermark="60 days")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    closed = [
+        (r.conv_id, r.session_start, r.session_end, r.n_turns)
+        for r in sink.rows()
+        if r.closed and r.conv_id != "__sentinel__"
+    ]
+    return spark.createDataFrame(
+        closed, "conv_id string, session_start timestamp, session_end timestamp, n_turns long"
     )
 
 
@@ -603,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_session": q_stream_session,
         "stream_join": q_stream_join,
+        "stream_counters": q_stream_counters,
+        "stream_open_sessions": q_stream_open_sessions,
         "http_ingest": q_http_ingest,
         "api_paginated": q_api_paginated,
         "txt_tokens": q_txt_tokens,
@@ -886,6 +1018,31 @@ def oracle_sql() -> dict[str, str]:
         # identical result set to the batch w_session oracle — streamed
         # (watermark + state-store session merge) == batch
         "stream_session": _W_SESSION_SQL,
+        # custom state (applyInPandasWithState): final routing counters
+        # per conversation == batch GROUP BY
+        "stream_counters": f"""{_T}
+            SELECT conv_id, COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+                   CAST(SUM(CASE WHEN strpos(text, 'error') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM transcripts GROUP BY conv_id""",
+        # custom state session assembly == batch sessionization
+        "stream_open_sessions": f"""{_T},
+            flagged AS (
+              SELECT *, CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                             OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+              FROM transcripts
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            sessioned AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                            ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM flagged
+            )
+            SELECT conv_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                   COUNT(*) AS n_turns
+            FROM sessioned GROUP BY conv_id, sess_id""",
         "txt_tokens": f"SELECT doc_id, {TXT.token_counts_sql()} FROM documents",
         "txt_quality": f"SELECT doc_id, {TXT.quality_sql()} FROM documents",
         "txt_langid": f"""

@@ -36,16 +36,42 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 )
 
 SESSION_STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("last_us", T.LongType()),
-        T.StructField("n", T.LongType()),
-    ]
+    [T.StructField("ts_us", T.ArrayType(T.LongType()))]
 )
 
 
 def _session_tracker(gap_seconds: int):
+    """Keyed session assembly with EXACT batch-sessionization semantics:
+    buffer the conversation's event times, split on gaps ≥ ``gap``, and
+    emit a session as ``closed`` only once the watermark passes its
+    ``end + gap`` — any row that could still bridge it would be late by
+    then. State per key = event times within the un-matured horizon
+    only (matured segments are emitted and dropped each update), so
+    memory is bounded by the watermark window, not conversation life.
+    This makes the streamed result equal ``F.session_window`` /
+    the SQL sessionization bit-for-bit (oracle-checked in the gate as
+    ``stream_open_sessions``)."""
     gap_us = gap_seconds * 1_000_000
+
+    def segments(sorted_us: list) -> list:
+        segs, cur = [], [sorted_us[0]]
+        for t in sorted_us[1:]:
+            if t - cur[-1] >= gap_us:
+                segs.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        segs.append(cur)
+        return segs
+
+    def mk(conv_id, seg, closed) -> dict:
+        return {
+            "conv_id": conv_id,
+            "session_start": pd.Timestamp(seg[0], unit="us"),
+            "session_end": pd.Timestamp(seg[-1] + gap_us, unit="us"),
+            "n_turns": len(seg),
+            "closed": closed,
+        }
 
     def fn(
         key: Tuple[Any, ...],
@@ -53,41 +79,38 @@ def _session_tracker(gap_seconds: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
+        buf = list(state.get[0]) if state.exists else []
         if state.hasTimedOut:
-            start_us, last_us, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "conv_id": [conv_id],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
-                    "n_turns": [n],
-                    "closed": [True],
-                }
-            )
+            if buf:
+                yield pd.DataFrame([mk(conv_id, s, True) for s in segments(sorted(buf))])
             return
 
-        start_us, last_us, n = state.get if state.exists else (None, None, 0)
         for pdf in pdf_iter:
             us = pdf["ts"].astype("int64")  # datetime64[us/ns] → int64
             if pdf["ts"].dtype == "datetime64[ns]":
                 us = us // 1000
-            lo, hi, cnt = int(us.min()), int(us.max()), len(pdf)
-            start_us = lo if start_us is None else min(start_us, lo)
-            last_us = hi if last_us is None else max(last_us, hi)
-            n += cnt
-        state.update((start_us, last_us, n))
-        # close the session when the event-time watermark passes last+gap
-        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
-        yield pd.DataFrame(
-            {
-                "conv_id": [conv_id],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
-                "n_turns": [n],
-                "closed": [False],
-            }
-        )
+            buf.extend(int(x) for x in us)
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out, keep = [], []
+        for seg in segments(buf):
+            if seg[-1] + gap_us <= wm_us:
+                out.append(mk(conv_id, seg, True))  # matured: final, emit now
+            else:
+                keep.extend(seg)
+        if keep:
+            state.update((keep,))
+            timeout_ms = max(
+                keep[-1] // 1000 + gap_seconds * 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+            out.append(mk(conv_id, segments(keep)[-1], False))  # trailing open
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
 
     return fn
 
