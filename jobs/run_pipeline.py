@@ -56,11 +56,44 @@ def build_branches():
     }
 
 
+def run_spec(spark, spec_path: str, output: str, checkpoint: str):
+    """The reference's ``vaero add <spec.py>`` lifecycle (SURVEY §3):
+    execute the user's pipeline spec as a subprocess — its
+    ``Vaero...start()`` prints the task-graph JSON, stdout is the IR
+    channel (``/root/reference/vaero/stream.py:127-132``,
+    ``cmd/util.go:192-210``) — decode it, and run it as one streaming
+    query with exactly-once sinks. Spec sources must be JSON-arg
+    sources (transcripts / http_server / rate), same constraint as the
+    reference's config-only specs."""
+    import subprocess
+
+    from vaero_spark.plans.plan import plan_from_json
+    from vaero_spark.sinks.writers import default_sink_factory
+    from vaero_spark.streaming.engine import run_streaming_plan
+
+    proc = subprocess.run(
+        [sys.executable, spec_path], capture_output=True, text=True, check=True
+    )
+    graph = proc.stdout.strip().splitlines()[-1]
+    plan = plan_from_json(graph)
+    return run_streaming_plan(
+        spark,
+        plan,
+        checkpoint_dir=checkpoint,
+        sink_factory=default_sink_factory(output),
+        trigger_seconds="auto",
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", required=False, default=None)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--spec", default=None,
+                    help="run a user pipeline spec file (prints its task "
+                         "graph JSON via Vaero().…start()) instead of the "
+                         "flagship DAG")
     ap.add_argument("--available-now", action="store_true",
                     help="drain what exists, then exit (batch-style run)")
     ap.add_argument("--trigger-seconds", type=float, default=None)
@@ -82,6 +115,19 @@ def main() -> None:
     )
     metrics = attach_metrics_listener(spark)
 
+    if args.spec:
+        pipe = run_spec(spark, args.spec, args.output, args.checkpoint)
+        if args.available_now:
+            pipe.process_all()
+            pipe.stop()
+            print(json.dumps({"status": "drained", "sinks": sorted(pipe.sinks)}))
+        else:
+            pipe.query.awaitTermination()
+        return
+
+    if not args.input:
+        ap_err = "--input is required unless --spec is given"
+        raise SystemExit(ap_err)
     src = transcripts_stream(spark, args.input, args.max_files_per_trigger)
     sinks = {
         name: ExactlyOnceParquetSink(os.path.join(args.output, name))

@@ -226,6 +226,44 @@ def test_okta_pipe_py(spark, tmp_path):
         assert r.prefix.startswith("2024/03/")  # strftime prefix on published
 
 
+def test_spec_file_lifecycle(spark, tmp_path):
+    """The reference's `vaero add <spec.py>` entry: the spec prints its
+    task-graph JSON (stdout = the IR channel, stream.py:127-132 /
+    cmd/util.go:192-210); the engine decodes and runs it with
+    exactly-once sinks."""
+    from jobs.run_pipeline import run_spec
+    from vaero_spark.testing.fixtures import write_transcripts_parquet
+
+    src = tmp_path / "src"
+    write_transcripts_parquet(str(src), n_files=2, n_turns=200, n_convs=5, seed=41)
+    spec = tmp_path / "my_pipe.py"
+    spec.write_text(
+        textwrap.dedent(
+            f"""\
+            import sys
+            sys.path.insert(0, "/root/repo")
+            from vaero_spark.dsl import Vaero
+
+            v = (
+                Vaero()
+                .source("transcripts", path={str(src)!r}, max_files_per_trigger=2)
+                .filter_regexp("role", "^user$")
+                .add("route", "users")
+                .sink("s3", name="out")
+            )
+            v.start()
+            """
+        )
+    )
+    pipe = run_spec(spark, str(spec), str(tmp_path / "sinks"), str(tmp_path / "ckpt"))
+    pipe.process_all()
+    pipe.stop()
+    out = pipe.sinks["out"].read_committed(spark)
+    want = spark.read.parquet(str(src)).filter(F.col("role") == "user").count()
+    assert out.count() == want
+    assert out.select("route").distinct().first().route == "users"
+
+
 def test_replay_pipe_py(spark, tmp_path):
     """pipelines/replay_pipe.py: replay a stored batch back through the
     engine into a re-prefixed sink (backfill pattern): add a replay tag,
