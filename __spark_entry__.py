@@ -694,6 +694,15 @@ def q_ann_hyperplane(spark, sf_dir):
     return SIM.cosine_topk_hyperplane(e, _ann_queries(e), k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN: probe n nearest cells per query, exact
+    re-rank within their inverted lists (the other production scale
+    path next to LSH; no SQL oracle — float matmul — verified against
+    brute force in tests)."""
+    e = CORPUS.load_embeddings(spark, sf_dir)
+    return SIM.cosine_topk_ivf(e, _ann_queries(e), k=5)
+
+
 def q_mm_meta(spark, sf_dir):
     """Multimodal metadata extraction over binary payloads (mapInPandas)."""
     return MM.extract_metadata(CORPUS.load_media(spark, sf_dir))
@@ -751,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute": q_ann_brute,
         "ann_bucketed": q_ann_bucketed,
         "ann_hyperplane": q_ann_hyperplane,
+        "ann_ivf": q_ann_ivf,
         "mm_meta": q_mm_meta,
         "mm_frames": q_mm_frames,
         "mm_features": q_mm_features,

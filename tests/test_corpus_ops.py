@@ -162,6 +162,45 @@ def test_hyperplane_ann_recall_vs_brute(spark, emb):
     assert hits / len(brute_top1) >= 0.5
 
 
+def test_ivf_recall_vs_brute(spark, emb):
+    """IVF probing half the cells must recover most true top-1s on the
+    diffuse corpus; with ALL cells probed it equals brute force."""
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    brute_top1 = {
+        r.query_id: r.neighbor_id
+        for r in SIM.cosine_topk_brute(emb, q, k=1).collect()
+    }
+    ivf_top1 = {
+        r.query_id: r.neighbor_id
+        for r in SIM.cosine_topk_ivf(emb, q, k=1, n_centroids=16, n_probe=8).collect()
+    }
+    hits = sum(1 for qid, nid in brute_top1.items() if ivf_top1.get(qid) == nid)
+    assert hits / len(brute_top1) >= 0.5
+    # exhaustive probing == brute force exactly (ranking ties aside,
+    # the neighbor SET at k=1 must match)
+    full = {
+        r.query_id: r.neighbor_id
+        for r in SIM.cosine_topk_ivf(emb, q, k=1, n_centroids=16, n_probe=16).collect()
+    }
+    assert full == brute_top1
+
+
+def test_ivf_duplicate_vectors_are_top1(spark):
+    """An exact duplicate shares its query's nearest centroid, so IVF
+    retrieves it at any n_probe >= 1."""
+    e = CORPUS.embeddings_with_dups(spark, SF)
+    q = e.filter(
+        (F.col("vec_id") % CORPUS.EMB_ND_EVERY == 0) & (F.col("vec_id") < CORPUS.ND_OFFSET)
+    )
+    top1 = {
+        r.query_id: (r.neighbor_id, r.sim)
+        for r in SIM.cosine_topk_ivf(e, q, k=1, n_centroids=16, n_probe=1).collect()
+    }
+    for qid, (nid, sim) in top1.items():
+        assert nid == qid + CORPUS.ND_OFFSET
+        assert sim == pytest.approx(1.0)
+
+
 def test_hyperplane_duplicate_vectors_are_top1(spark):
     """A planted exact-duplicate vector lands in the same LSH bucket by
     construction and must be retrieved as the top-1 neighbor."""
