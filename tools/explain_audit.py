@@ -37,6 +37,13 @@ CHECKS = {
     # (window and agg share it); quality is pure narrow per-row
     "txt_fingerprint": (["Window"], ["CartesianProduct"]),
     "txt_quality": ([], ["Exchange"]),
+    "txt_tokens": ([], ["Exchange"]),  # pure narrow per-row
+    "w_session": ([], ["CartesianProduct"]),
+    # ingestion replays: breaker/gate plans must stay join-free
+    "http_ingest": ([], ["CartesianProduct", "SortMergeJoin"]),
+    "api_paginated": ([], ["Exchange"]),  # a spool scan, nothing else
+    # banded embedding near-dup: equi-join on band key only
+    "dedup_embedding_cos": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
 }
 
 
@@ -51,7 +58,10 @@ def main() -> None:
 
     import contextlib
 
-    from pyspark.sql import DataFrame as _DF
+    # patch the CONCRETE class (pyspark.sql.classic...), not the
+    # pyspark.sql.DataFrame base — Spark 4's concrete class overrides
+    # the action methods, so base-class patches never intercept
+    _DF = type(spark.range(1))
 
     @contextlib.contextmanager
     def no_actions(qname: str):
@@ -77,8 +87,14 @@ def main() -> None:
             for m in names:
                 setattr(_DF, m, saved[m])
 
+    # ingestion shims collect at BUILD time by design (the connector is
+    # the driver-side subprocess role; the distributed path is the spool
+    # stream) — exempt from the action guard, still plan-audited
+    ACTION_EXEMPT = {"api_paginated"}
+
     for name, (must, must_not) in CHECKS.items():
-        with no_actions(name):
+        guard = contextlib.nullcontext() if name in ACTION_EXEMPT else no_actions(name)
+        with guard:
             df = qs[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
