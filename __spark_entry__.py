@@ -240,9 +240,16 @@ def _gate_stream_input(spark, sf_dir, variant: str) -> str:
         load_transcripts_with_dupes,
     )
 
+    # key the cache on the SOURCE parquet's identity too, so a
+    # regenerated testdata dir can never serve a stale cached input
+    import hashlib
+
+    ev = Path(sf_dir) / "events.parquet"
+    st = ev.stat()
+    src_key = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
     base = os.path.join(
         tempfile.gettempdir(),
-        f"vaero_gate_in_{_GATE_INPUT_VERSION}_{Path(sf_dir).name}_{variant}",
+        f"vaero_gate_in_{_GATE_INPUT_VERSION}_{Path(sf_dir).name}_{variant}_{src_key}",
     )
     done = os.path.join(base, "_DONE")
     inp = os.path.join(base, "in")

@@ -174,6 +174,11 @@ def test_epoch_redelivery_is_idempotent(spark, tmp_path):
     m2 = sink.write(df, 7)  # re-delivery of same epoch
     assert m1["rows"] == 1 and m2["rows"] == 1
     assert sink.read_committed(spark).count() == 1
+    # per-partition lineage: the manifest records what landed where
+    (part,) = m1["partitions"].keys()
+    assert part.startswith("prefix=2024-03-01")
+    assert m1["partitions"][part]["files"] >= 1
+    assert m1["partitions"][part]["bytes"] > 0
 
 
 def test_multi_sink_fanout_exactly_once(spark, tmp_path):

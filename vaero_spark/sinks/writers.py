@@ -193,12 +193,27 @@ class ExactlyOnceParquetSink:
             total = kept = 0
         dropped = total - kept
 
+        # Per-partition lineage: what landed where this epoch, from the
+        # committed files themselves (no extra Spark job). The Iceberg
+        # sink gets this natively from snapshot manifests; here the
+        # epoch manifest carries it for the parquet sandbox sink.
+        partitions = {}
+        for root, _dirs, files in os.walk(epoch_dir):
+            pq = [f for f in files if f.endswith(".parquet")]
+            if not pq:
+                continue
+            rel = os.path.relpath(root, epoch_dir)
+            partitions[rel] = {
+                "files": len(pq),
+                "bytes": sum(os.path.getsize(os.path.join(root, f)) for f in pq),
+            }
         manifest = {
             "epoch": epoch_id,
             "rows": kept,
             "dropped_null_ts": dropped,
             "committed_at": time.time(),
             "path": epoch_dir,
+            "partitions": partitions,
         }
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         tmp = marker + ".tmp"
