@@ -276,15 +276,14 @@ def run_scaling(sf_dir: str) -> dict:
 
     lo, hi = SCALING_CORES
     b_lo, b_hi = best(lo), best(hi)
-    eff = None
-    if "turns_per_sec" in b_lo and "turns_per_sec" in b_hi:
-        eff = round(b_hi["turns_per_sec"] / b_lo["turns_per_sec"] / (hi / lo), 3)
+    eff = _eff_now()
     out = {
         "input_rows": n_rows,
-        "trials_per_level": trials,
+        "trials_per_level": len(runs[lo]),  # ACTUAL trials run (adaptive)
+        "max_trials": trials,
         f"local[{lo}]": b_lo,
         f"local[{hi}]": b_hi,
-        "scaling_efficiency": eff,
+        "scaling_efficiency": round(eff, 3) if eff is not None else None,
     }
     # Supplementary full-width point, every round: keeps the 2→8
     # substitution auditable against the instructed 8→32 pair (the VM's

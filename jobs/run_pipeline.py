@@ -56,7 +56,8 @@ def build_branches():
     }
 
 
-def run_spec(spark, spec_path: str, output: str, checkpoint: str):
+def run_spec(spark, spec_path: str, output: str, checkpoint: str,
+             trigger: float | str | None = "auto"):
     """The reference's ``vaero add <spec.py>`` lifecycle (SURVEY §3):
     execute the user's pipeline spec as a subprocess — its
     ``Vaero...start()`` prints the task-graph JSON, stdout is the IR
@@ -81,7 +82,7 @@ def run_spec(spark, spec_path: str, output: str, checkpoint: str):
         plan,
         checkpoint_dir=checkpoint,
         sink_factory=default_sink_factory(output),
-        trigger_seconds="auto",
+        trigger_seconds=trigger,
     )
 
 
@@ -116,7 +117,12 @@ def main() -> None:
     metrics = attach_metrics_listener(spark)
 
     if args.spec:
-        pipe = run_spec(spark, args.spec, args.output, args.checkpoint)
+        # a drain run must not wait out the DSL's 300 s batch_max_time
+        # trigger between micro-batches — ASAP triggers for availableNow
+        pipe = run_spec(
+            spark, args.spec, args.output, args.checkpoint,
+            trigger=None if args.available_now else "auto",
+        )
         if args.available_now:
             pipe.process_all()
             pipe.stop()

@@ -73,6 +73,22 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark, docs_nd):
     assert mh <= ex
 
 
+def test_ngram_jaccard_finds_short_doc_pairs(spark):
+    """The PPJoin count filter must adapt to tiny docs: a 3-word doc has
+    ONE shingle, so the threshold clamps to its set size."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma delta"),
+            (3, "unrelated words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in DD.ngram_jaccard_pairs(df).collect()}
+    assert (1, 2) in pairs  # Jaccard = 1/2 on a single shared shingle
+    assert all(3 not in p for p in pairs)
+
+
 def test_simhash_identical_text_same_hash(spark, docs_nd):
     sh = DD.simhash_docs(docs_nd)
     planted = sh.filter(F.col("doc_id") >= CORPUS.ND_OFFSET).withColumn(

@@ -35,6 +35,13 @@ def test_jsonarray_breaker_parity():
     assert len(break_json_array('[{"x": "y"}]')) == 1
     # empty array → no events
     assert break_json_array("[]") == []
+    # braces and commas inside STRING values must not affect the split
+    # (documented improvement over the reference's brace-only counter)
+    tricky = '[{"msg": "}, not a boundary {", "n": 1}, {"msg": "a\\"b,{", "n": 2}]'
+    events = break_json_array(tricky)
+    assert len(events) == 2
+    assert json.loads(events[0])["n"] == 1
+    assert json.loads(events[1])["msg"] == 'a"b,{'
 
 
 def test_push_source_end_to_end(spark, tmp_path):

@@ -93,7 +93,10 @@ def test_resume_from_kill_no_dup_no_loss(tmp_path):
     src1 = PaginatedApiSource(
         fetch, str(spool), cursor, max_events_per_poll=30, _sleep=lambda d: None
     )
-    assert src1.poll() == 30  # one bounded poll, then "kill"
+    # cap 30 → 29 spooled: the (possibly incomplete) max-ts group of a
+    # truncated poll defers to the next poll
+    assert src1.poll() == 29
+    # one bounded poll done, then "kill"
 
     src2 = PaginatedApiSource(
         fetch, str(spool), cursor, max_events_per_poll=30, _sleep=lambda d: None
@@ -123,9 +126,31 @@ def test_crash_between_spool_and_cursor_is_idempotent(tmp_path):
     (tmp_path / "cursor.json").write_text(saved)
     src.poll()
     assert len(list(spool.glob("*.jsonl"))) == n_files  # overwrote, no new file
+    src.poll_until_exhausted()  # drain the deferred tail
     ids = _spooled_ids(spool)
     assert sorted(ids) == list(range(40))
     assert len(ids) == len(set(ids))
+
+
+def test_cap_boundary_with_duplicate_timestamps_loses_nothing(tmp_path):
+    """Events sharing the max timestamp of a cap-truncated poll must NOT
+    be lost: the incomplete max-ts group defers to the next poll (the
+    cursor lands ON the timestamp, not past it)."""
+    t0 = datetime.strptime("2024-03-01T00:00:00.000000", ISO)
+    rows = []
+    for i in range(50):
+        # five events per timestamp → cap=12 always cuts mid-group
+        ts = (t0 + timedelta(seconds=i // 5)).strftime(ISO)
+        rows.append({"event_id": i, "ts": ts})
+    fetch = pages_from_rows(rows, page_size=4)
+    spool, cursor = tmp_path / "spool", str(tmp_path / "cursor.json")
+    src = PaginatedApiSource(
+        fetch, str(spool), cursor, max_events_per_poll=12, _sleep=lambda d: None
+    )
+    src.poll_until_exhausted()
+    ids = _spooled_ids(spool)
+    assert sorted(ids) == list(range(50))  # no loss at any boundary
+    assert len(ids) == len(set(ids))  # no duplicates
 
 
 def test_late_gate_drops_pre_cursor_slop(tmp_path):

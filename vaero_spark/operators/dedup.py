@@ -148,10 +148,19 @@ def ngram_jaccard_pairs(
     (PPJoin-style): accidental pairs overwhelmingly share exactly one
     mid-frequency shingle (measured 1.37M → 0.14M candidates at sf0.1,
     a 10× cut in exact-verification work), while true near-dups at
-    J ≥ 0.5 share ~half their shingles. The only pairs it can lose are
-    those whose overlap is ~entirely stop shingles — not near-dups in
-    any meaningful sense. Fully lazy — no driver-side action in the
-    plan (asserted by tools/explain_audit.py's eager-job guard)."""
+    J ≥ 0.5 share ~half their shingles. The effective threshold per
+    pair is ``least(min_shared, |A|, |B|)`` so docs with fewer total
+    shingles than ``min_shared`` (3-word docs have ONE) are never
+    excluded; what remains droppable are pairs whose overlap is
+    ~entirely stop shingles — not near-dups in any meaningful sense.
+    NOTE on big duplicate clusters: a boilerplate text repeated in more
+    than ``max_df`` docs turns its own shingles into stop shingles and
+    becomes invisible to THIS op — by design (the df cap is what bounds
+    per-shingle pair fan-out at O(cap²)); run `exact_dedup` first for
+    identical copies and `minhash_lsh_pairs` (banded signatures, no df
+    cap) for large near-dup clusters. Fully lazy — no driver-side
+    action in the plan (asserted by tools/explain_audit.py's eager-job
+    guard)."""
     sh = doc_shingles(df, id_col, text_col).persist()  # shared by 3 consumers
     informative = (
         sh.groupBy("shingle")
@@ -162,11 +171,17 @@ def ngram_jaccard_pairs(
     sh_i = sh.join(informative, "shingle")
     a = sh_i.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh_i.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand = (
         a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_shared"))
-        .filter(F.col("_shared") >= min_shared)
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb")), "id_b")
+        .filter(
+            F.col("_shared")
+            >= F.least(F.lit(min_shared), F.col("_na"), F.col("_nb"))
+        )
         .select("id_a", "id_b")
     )
     verified = pair_jaccard(cand, sh)

@@ -197,24 +197,31 @@ def sign_band_keys_sql(
 
 def _exact_cosine_rank(cand: DataFrame, k: int) -> DataFrame:
     """Shared re-rank tail for the float ANN paths: exact cosine over
-    candidate (q_id, q_vec, n_id, n_vec) rows, per-query top-k."""
-    dot = F.aggregate(
-        F.zip_with("q_vec", "n_vec", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    candidate (q_id, q_vec, n_id, n_vec) rows, per-query top-k.
 
-    def norm(col):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
+    Scored with a vectorized numpy pandas UDF rather than nested
+    higher-order Column functions: zip_with-inside-aggregate is exactly
+    the nested-HOF codegen shape that returned wrong values in
+    long-lived Spark 4.1.2 sessions (CLAUDE.md invariant) — and these
+    float queries have no SQL oracle to catch a silent regression. The
+    Arrow-batched matmul is also the faster path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(q, n):
+        A = np.vstack(q.to_numpy()).astype("float64")
+        B = np.vstack(n.to_numpy()).astype("float64")
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.where(den == 0.0, 1.0, den))
+
+    _cos.__annotations__ = {"q": pd.Series, "n": pd.Series, "return": pd.Series}
+    cos_udf = pandas_udf(_cos, "double")
 
     scored = cand.select(
-        "q_id", "n_id", (dot / (norm("q_vec") * norm("n_vec"))).alias("sim")
+        "q_id", "n_id", cos_udf(F.col("q_vec"), F.col("n_vec")).alias("sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (

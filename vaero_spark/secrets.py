@@ -53,10 +53,16 @@ class SecretResolver:
 
     def fetch(self) -> dict:
         """Run the command once: secrets list on stdin, JSON map on
-        stdout (the ``aws_secrets.py`` contract)."""
+        stdout (the ``aws_secrets.py`` contract). The command may carry
+        arguments ('python3 fetch.py' — shlex-split, no shell); a
+        missing executable raises SecretsError like every other failure
+        mode, not a bare OSError."""
+        import shlex
+
+        argv = shlex.split(self.command)
         try:
             proc = subprocess.run(
-                [self.command],
+                argv,
                 input=json.dumps(self.secrets).encode(),
                 capture_output=True,
                 timeout=self.timeout,
@@ -68,6 +74,8 @@ class SecretResolver:
             ) from e
         except subprocess.TimeoutExpired as e:
             raise SecretsError(f"secrets command {self.command!r} timed out") from e
+        except OSError as e:
+            raise SecretsError(f"secrets command {self.command!r}: {e}") from e
         try:
             out = json.loads(proc.stdout.decode())
         except json.JSONDecodeError as e:

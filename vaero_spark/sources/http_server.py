@@ -35,11 +35,15 @@ from pyspark.sql import types as T
 
 
 def break_json_array(body: str) -> list[str]:
-    """Port of the reference's jsonarray breaker
+    """The reference's jsonarray breaker
     (``source_python.go:EventBreakJSONArray``): strip the outer
-    brackets, split on commas at brace level 0. (Like the reference, it
-    tracks only ``{}`` depth — a top-level bare string containing a
-    comma splits; event payloads are objects, so this matches.)"""
+    brackets, split on commas at brace level 0 — hardened with JSON
+    string-awareness. DOCUMENTED DIVERGENCE (an improvement): the
+    reference counts braces inside string values too, so an event like
+    ``{"msg": "}"}`` corrupts the split for the whole request; we skip
+    brace/comma tracking inside strings (honoring backslash escapes),
+    which yields the reference's exact splits on every body it handles
+    correctly and the RIGHT splits on the bodies it mangles."""
     import re
 
     body = re.sub(r"(?s)^\s*\[", "", body)
@@ -47,8 +51,20 @@ def break_json_array(body: str) -> list[str]:
     events: list[str] = []
     level = 0
     start = 0
+    in_str = False
+    escaped = False
     for idx, c in enumerate(body):
-        if c == "{":
+        if in_str:
+            if escaped:
+                escaped = False
+            elif c == "\\":
+                escaped = True
+            elif c == '"':
+                in_str = False
+            continue
+        if c == '"':
+            in_str = True
+        elif c == "{":
             level += 1
         elif c == "}":
             level -= 1

@@ -55,13 +55,15 @@ class SteadyRateLimiter:
 
     increment: float
     _last_call: float = 0.0
-    sleeps: list = field(default_factory=list)  # observability for tests
+    sleeps: list = field(default_factory=list)  # observability (bounded)
+    _MAX_SLEEP_LOG = 1000  # a long-lived poller must not grow this forever
 
     def wait(self, now: Callable[[], float] = time.time, sleep=time.sleep) -> None:
         current = now()
         while current < self._last_call + self.increment:
             delta = self._last_call + self.increment - current
-            self.sleeps.append(delta)
+            if len(self.sleeps) < self._MAX_SLEEP_LOG:
+                self.sleeps.append(delta)
             sleep(delta)
             current = now()
         self._last_call = current
@@ -144,6 +146,7 @@ class PaginatedApiSource:
         events: list[dict] = []
         times: list[datetime] = []  # parsed once, reused for the cursor
         page_token: int | None = None
+        truncated = False
         while True:
             self.rate.wait(sleep=self._sleep)
             page, page_token = call_with_backoff(
@@ -164,10 +167,29 @@ class PaginatedApiSource:
             if page_token is None:
                 break
             if self.max_events_per_poll and len(events) >= self.max_events_per_poll:
+                truncated = True
                 break
 
         if not events:
             return 0
+
+        # Cap-boundary safety: when pagination stopped at the cap, the
+        # max-timestamp group may be INCOMPLETE — advancing the cursor
+        # past it would make the late gate drop its unseen members
+        # forever. Defer the whole max-ts group to the next poll (cursor
+        # lands ON max_t, the gate's >= refetches the group, the
+        # deterministic spool name dedups what we did keep). Degenerate
+        # case: every buffered event shares one timestamp — then the
+        # group cannot be split and we accept the okta-style +1-tick
+        # advance (only reachable when > max_events_per_poll events
+        # carry the same timestamp).
+        deferred_to: datetime | None = None
+        if truncated:
+            max_t = max(times)
+            kept = [(e, t) for e, t in zip(events, times) if t < max_t]
+            if kept:
+                events, times = [list(x) for x in zip(*kept)]
+                deferred_to = max_t
         # spool first, cursor second; the filename is the PRE-poll
         # cursor, so a crash between the two re-runs the same poll into
         # the same file — no dup, no loss
@@ -179,9 +201,13 @@ class PaginatedApiSource:
                 f.write(json.dumps(ev) + "\n")
         os.replace(tmp, os.path.join(self.spool_dir, name))
 
-        # cursor advance = max(event time) + 1 µs (source_okta.py:122-130)
-        last = max(times)
-        cur.cursor = {"since": (last + timedelta(microseconds=1)).strftime(ISO)}
+        # cursor advance = max(event time) + 1 µs (source_okta.py:122-130);
+        # a deferred max-ts group pins the cursor ON its timestamp instead
+        if deferred_to is not None:
+            cur.cursor = {"since": deferred_to.strftime(ISO)}
+        else:
+            last = max(times)
+            cur.cursor = {"since": (last + timedelta(microseconds=1)).strftime(ISO)}
         cur.store(self.cursor_path)
         return len(events)
 

@@ -166,6 +166,12 @@ def _sink_chains(plan: Plan) -> list[tuple[str, OpNode, list[OpNode]]]:
             elif node.type == "sink":
                 name = node.args.get("name") or f"{node.op}#{ctr[0]}"
                 ctr[0] += 1
+                if any(name == n for n, _, _ in chains):
+                    raise ValueError(
+                        f"duplicate sink name {name!r}: two branches would "
+                        "silently collapse into one output — give each sink "
+                        "a distinct name="
+                    )
                 chains.append((name, node, acc))
             if not node.children:
                 return
