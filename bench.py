@@ -133,17 +133,21 @@ def _pipeline_transform(df):
     and language (the training-data stage — all codegen'd column
     expressions, no Python in the loop), tag."""
     from pyspark.sql import functions as F
-    from vaero_spark.functions.text import lang_id, quality_columns
+    from vaero_spark.functions.text import lang_id, quality_columns, tokens
     from vaero_spark.operators import transforms as TR
 
     df = TR.mask(df, "text", EMAIL_RE, "<EMAIL>")
     df = TR.mask(df, "text", "[0-9]{4,}", "<NUM>")
     df = TR.parse_regexp(df, "text", "k=(?<kval>[0-9]+)")
     df = TR.parse_regexp(df, "text", "of (?<conv>conv-[^:]+):")
-    q = quality_columns("text")
+    # tokenize ONCE as a real column; quality + lang-ID reuse the
+    # attribute instead of re-splitting text per expression (the module
+    # PERFORMANCE RULE: inlined HOF exprs re-evaluate per element)
+    df = df.withColumn("_tok", tokens("text"))
+    q = quality_columns("text", tok=F.col("_tok"))
     df = df.withColumn("quality_bp", q["quality_bp"]).withColumn(
-        "lang", lang_id("text")
-    )
+        "lang", lang_id("text", tok=F.col("_tok"))
+    ).drop("_tok")
     df = TR.add(df, "pipeline", "bench")
     return df
 

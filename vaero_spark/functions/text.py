@@ -112,15 +112,21 @@ def _stop_count(tok: Column, words: list[str]) -> Column:
     return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
 
 
-def quality_columns(col: str | Column) -> dict[str, Column]:
+def quality_columns(col: str | Column, tok: Column | None = None) -> dict[str, Column]:
     """Deterministic quality heuristics: counts + ratios in basis points.
 
     quality_bp = min(10000, 2*stop_bp + 10*min(n_tokens, 500)):
     stopword-bearing, reasonably long docs score high — a standard
     cheap pretraining-quality prior, in exact integer arithmetic.
+
+    Pass ``tok`` (a MATERIALIZED token-array column) when tokenization
+    is shared with other ops in the same projection — expressions
+    inlined into HOF lambdas re-evaluate per element (see the module
+    PERFORMANCE RULE), so hot pipelines tokenize once via
+    ``with_shingle_arrays``/``withColumn`` and reuse the attribute.
     """
     c = F.col(col) if isinstance(col, str) else col
-    tok = tokens(c)
+    tok = tokens(c) if tok is None else tok
     n_tok = F.size(tok).cast("bigint")
     n_stop = _stop_count(tok, STOPWORDS["en"]).cast("bigint")
     n_punct = F.size(
@@ -164,9 +170,9 @@ def quality_sql() -> str:
 # language ID (stopword-profile argmax + CJK char class)
 # ---------------------------------------------------------------------------
 
-def lang_id(col: str | Column) -> Column:
+def lang_id(col: str | Column, tok: Column | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    tok = tokens(c)
+    tok = tokens(c) if tok is None else tok
     counts = {lang: _stop_count(tok, words) for lang, words in STOPWORDS.items()}
     m = F.greatest(*counts.values())
     pred = F.lit(LANG_ORDER[-1])
