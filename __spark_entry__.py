@@ -112,6 +112,15 @@ def q_t_sample(spark, sf_dir):
     return _dsl_pipeline(spark, sf_dir, lambda v: v.sample(8, key="text"))
 
 
+def q_t_annotate(spark, sf_dir):
+    """Training-data annotation stages as first-class DSL transforms:
+    quality columns + language-ID over each turn's text, tokenized once
+    (the north-star 'per-event operators become vectorized stages')."""
+    return _dsl_pipeline(
+        spark, sf_dir, lambda v: v.annotate_quality().annotate_lang()
+    )
+
+
 def q_route(spark, sf_dir):
     """Route-by-condition: branch fan-out (transformNode.go:36-57) —
     errors to one sink, the rest to another; tagged union of both sinks."""
@@ -734,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_parse_regexp": q_t_parse,
         "t_select": q_t_select,
         "t_sample": q_t_sample,
+        "t_annotate": q_t_annotate,
         "route_branch": q_route,
         "w_tumbling": q_w_tumbling,
         "w_sliding": q_w_sliding,
@@ -941,6 +951,11 @@ def oracle_sql() -> dict[str, str]:
         "t_sample": f"""{_T}
             SELECT * FROM transcripts
             WHERE substr(md5(text), 32, 1) IN ('0','1','2','3','4','5','6','7')""",
+        "t_annotate": f"""{_T}
+            SELECT conv_id, turn_idx, role, text, tool, ts,
+                   {TXT.quality_sql()},
+                   {TXT.lang_id_sql()} AS lang
+            FROM transcripts""",
         "route_branch": f"""{_T}
             SELECT *, 'errors' AS route FROM transcripts WHERE regexp_matches(text, 'error')
             UNION ALL

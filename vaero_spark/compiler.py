@@ -95,6 +95,19 @@ def apply_tn(df: DataFrame, op: str, args: dict) -> DataFrame:
         from vaero_spark.operators.windows import session_windows
 
         return session_windows(df, args["gap"], key=args.get("key", "conv_id"))
+    if op in ("annotate_quality", "annotate_lang"):
+        from vaero_spark.functions.text import lang_id, quality_columns, tokens
+
+        path = args.get("path", "text")
+        # materialize the token array once; every annotation column
+        # reuses the attribute (HOF re-evaluation rule)
+        df = df.withColumn("_tok", tokens(path))
+        if op == "annotate_quality":
+            for name, col in quality_columns(path, tok=F.col("_tok")).items():
+                df = df.withColumn(name, col)
+        else:
+            df = df.withColumn("lang", lang_id(path, tok=F.col("_tok")))
+        return df.drop("_tok")
     raise ValueError(f"unknown transform op {op!r}")
 
 

@@ -90,6 +90,16 @@ class Vaero:
     def watermark(self, column: str, delay: str) -> "Vaero":
         return self._append("tn", "watermark", {"column": column, "delay": delay})
 
+    def annotate_quality(self, path: str = "text") -> "Vaero":
+        """Training-data annotation stage: integer-exact quality columns
+        (n_tokens, stop/punct ratios, quality_bp) over ``path`` —
+        vectorized column expressions, tokenized once."""
+        return self._append("tn", "annotate_quality", {"path": path})
+
+    def annotate_lang(self, path: str = "text") -> "Vaero":
+        """Language-ID annotation stage (stopword-profile argmax + CJK)."""
+        return self._append("tn", "annotate_lang", {"path": path})
+
     # ---- config modifiers (mutate current node, like stream.py:83-109) ----
     def option(self, name: str, value: Any) -> "Vaero":
         if self._node is None:
