@@ -832,7 +832,7 @@ _NGRAM_SQL = f"""{_D},
       SELECT shingle FROM shingle_rows GROUP BY shingle
       HAVING count(*) <= {DD.STOP_SHINGLE_MAX_DF}),
     sh_i AS (SELECT s.doc_id, s.shingle FROM shingle_rows s JOIN informative USING (shingle)),
-    dsizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle_rows GROUP BY doc_id),
+    dsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_i GROUP BY doc_id),
     cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
              FROM sh_i a JOIN sh_i b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
              JOIN dsizes za ON za.doc_id = a.doc_id

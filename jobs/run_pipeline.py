@@ -75,7 +75,25 @@ def run_spec(spark, spec_path: str, output: str, checkpoint: str,
     proc = subprocess.run(
         [sys.executable, spec_path], capture_output=True, text=True, check=True
     )
-    graph = proc.stdout.strip().splitlines()[-1]
+    # The task graph is the LAST stdout line that parses as a JSON list —
+    # not blindly the last line: a spec (or a library it imports) may
+    # print after Vaero(...).start(), and check=True would mask nothing
+    # since the spec still exits 0.
+    graph = None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("["):
+            try:
+                if isinstance(json.loads(line), list):
+                    graph = line
+                    break
+            except json.JSONDecodeError:
+                continue
+    if graph is None:
+        raise ValueError(
+            f"spec {spec_path!r} printed no task-graph JSON line "
+            "(expected Vaero(...)....start() to print a JSON list)"
+        )
     plan = plan_from_json(graph)
     return run_streaming_plan(
         spark,

@@ -109,8 +109,9 @@ def test_resume_from_kill_no_dup_no_loss(tmp_path):
 
 
 def test_crash_between_spool_and_cursor_is_idempotent(tmp_path):
-    """A poll that spooled but died before storing the cursor re-runs
-    into the SAME spool file — re-delivery overwrites, never appends."""
+    """A poll that spooled but died before storing the cursor recovers
+    the cursor FROM its existing spool file — never a second fetch, so
+    the possibly-already-committed file is never rewritten."""
     rows = _mk_rows(40)
     fetch = pages_from_rows(rows, page_size=10)
     spool, cursor = tmp_path / "spool", str(tmp_path / "cursor.json")
@@ -130,6 +131,44 @@ def test_crash_between_spool_and_cursor_is_idempotent(tmp_path):
     ids = _spooled_ids(spool)
     assert sorted(ids) == list(range(40))
     assert len(ids) == len(set(ids))
+
+
+def test_crash_replay_with_new_upstream_events_loses_nothing(tmp_path):
+    """THE dangerous replay window: events arrive upstream between the
+    original poll and its crash re-run. A naive re-fetch would write the
+    SAME filename with EXTENDED contents — and since Spark's file source
+    dedups by path, the delta rows would never be read while the cursor
+    advance skips past them forever. The replay guard must instead leave
+    the original file byte-identical and pick the new events up in the
+    NEXT poll's own file."""
+    rows = _mk_rows(20)
+    spool, cursor = tmp_path / "spool", str(tmp_path / "cursor.json")
+
+    src1 = PaginatedApiSource(
+        pages_from_rows(rows, page_size=10), str(spool), cursor, _sleep=lambda d: None
+    )
+    assert src1.poll() == 20
+    original = {f.name: f.read_bytes() for f in spool.glob("*.jsonl")}
+    assert len(original) == 1
+    # crash BEFORE the cursor store: roll the cursor file back to
+    # nonexistent (the pre-poll state) …
+    (tmp_path / "cursor.json").unlink()
+    # … and meanwhile 5 NEW events arrive upstream
+    late = [
+        {"event_id": 100 + r["event_id"], "ts": r["ts"]}
+        for r in _mk_rows(5, start="2024-03-01T12:00:00.000000")
+    ]
+    src2 = PaginatedApiSource(
+        pages_from_rows(rows + late, page_size=10), str(spool), cursor, _sleep=lambda d: None
+    )
+    assert src2.poll() == 20  # replay: recovered from the spool, no re-fetch
+    for f in spool.glob("*.jsonl"):
+        if f.name in original:
+            assert f.read_bytes() == original[f.name], "committed file rewritten"
+    src2.poll_until_exhausted()
+    ids = _spooled_ids(spool)
+    assert sorted(ids) == list(range(20)) + [100, 101, 102, 103, 104]  # delta picked up
+    assert len(ids) == len(set(ids))  # exactly once each
 
 
 def test_cap_boundary_with_duplicate_timestamps_loses_nothing(tmp_path):

@@ -153,6 +153,11 @@ def ngram_jaccard_pairs(
     shingles than ``min_shared`` (3-word docs have ONE) are never
     excluded; what remains droppable are pairs whose overlap is
     ~entirely stop shingles — not near-dups in any meaningful sense.
+    The per-doc floor counts INFORMATIVE shingles (``sh_i``), not all
+    shingles: a doc whose shingles are mostly stop-shingles may have
+    ≥ ``min_shared`` total but only one informative shingle, and a
+    floor computed from the total would make such a doc unable to ever
+    satisfy the filter — a silent recall hole.
     NOTE on big duplicate clusters: a boilerplate text repeated in more
     than ``max_df`` docs turns its own shingles into stop shingles and
     becomes invisible to THIS op — by design (the df cap is what bounds
@@ -171,7 +176,7 @@ def ngram_jaccard_pairs(
     sh_i = sh.join(informative, "shingle")
     a = sh_i.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh_i.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("shingle_b"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sh_i.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand = (
         a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")

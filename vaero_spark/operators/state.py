@@ -101,8 +101,13 @@ def _session_tracker(gap_seconds: int):
                 keep.extend(seg)
         if keep:
             state.update((keep,))
+            # ceil of (end + gap) in ms: floor-truncating the µs event
+            # time would let the timeout fire up to ~1 ms BEFORE the
+            # watermark truly passes end+gap, splitting a session that a
+            # sub-ms bridging event would have merged (the non-timeout
+            # path compares at exact µs — both paths must agree).
             timeout_ms = max(
-                keep[-1] // 1000 + gap_seconds * 1000,
+                -(-(keep[-1] + gap_us) // 1000),
                 state.getCurrentWatermarkMs() + 1,
             )
             state.setTimeoutTimestamp(timeout_ms)

@@ -21,10 +21,14 @@ shim — exactly the role of the reference's Python subprocess feeding the
 Go channel — that spools each poll's events as an **atomically-renamed
 JSON-lines file named after the pre-poll cursor**, and the pipeline
 reads the spool with the checkpointed file stream source. The
-deterministic filename makes crash re-delivery idempotent (a poll
-re-run after a crash between spool-write and cursor-store overwrites
-the same file): no duplicates, no loss — the exactly-once upgrade over
-the reference's pickle-only persistence. ``max_events_per_poll`` is the
+deterministic filename makes crash re-delivery idempotent: a poll
+re-run after a crash between spool-write and cursor-store finds its
+own spool file already present and recovers the cursor FROM it instead
+of re-fetching (a re-fetch could pick up events that arrived upstream
+in between — the file source dedups by path, so extended contents of
+an already-committed file would be silently lost). No duplicates, no
+loss — the exactly-once upgrade over the reference's pickle-only
+persistence. ``max_events_per_poll`` is the
 ``maxOffsetsPerTrigger`` analog; the rate limiter paces request fan-out
 to the upstream API.
 """
@@ -134,6 +138,9 @@ class PaginatedApiSource:
     def _parse(self, s: str) -> datetime:
         return datetime.strptime(s, ISO) if "." in s else datetime.strptime(s, ISO[:-3])
 
+    def _spool_name(self, since_s: str | None) -> str:
+        return f"poll-{(since_s or 'start').replace(':', '_').replace('.', '_')}.jsonl"
+
     def poll(self) -> int:
         """One poll cycle; returns the number of NEW events spooled."""
         if self.secret_resolver is not None:
@@ -142,6 +149,27 @@ class PaginatedApiSource:
         cur.load(self.cursor_path)
         since_s = cur.cursor.get("since")
         since = self._parse(since_s) if since_s else None
+
+        # Crash-replay guard: a spool file for THIS cursor means the
+        # previous run died between spool-write and cursor-store. Do NOT
+        # re-fetch — events that arrived upstream since then would extend
+        # the re-run's contents, but Spark's file source dedups by PATH:
+        # if the original file was already committed the delta rows would
+        # never be read, while the cursor advance skipped past them
+        # forever. Instead recover the cursor from the file we already
+        # wrote (max spooled event time + 1 µs); the next poll fetches
+        # anything newer into its own file. A deferred max-ts group (see
+        # below) stays safe: every spooled time is strictly below the
+        # deferred timestamp, so max+1 µs never overshoots it and the
+        # ``>=`` gate still re-fetches the group.
+        spool_path = os.path.join(self.spool_dir, self._spool_name(since_s))
+        if os.path.exists(spool_path):
+            with open(spool_path) as f:
+                spooled = [json.loads(line) for line in f if line.strip()]
+            last = max(self._parse(ev[self.event_time_key]) for ev in spooled)
+            cur.cursor = {"since": (last + timedelta(microseconds=1)).strftime(ISO)}
+            cur.store(self.cursor_path)
+            return len(spooled)
 
         events: list[dict] = []
         times: list[datetime] = []  # parsed once, reused for the cursor
@@ -191,10 +219,10 @@ class PaginatedApiSource:
                 events, times = [list(x) for x in zip(*kept)]
                 deferred_to = max_t
         # spool first, cursor second; the filename is the PRE-poll
-        # cursor, so a crash between the two re-runs the same poll into
-        # the same file — no dup, no loss
+        # cursor, so a crash between the two is recovered by the replay
+        # guard above (never a re-fetch) — no dup, no loss
         os.makedirs(self.spool_dir, exist_ok=True)
-        name = f"poll-{(since_s or 'start').replace(':', '_').replace('.', '_')}.jsonl"
+        name = self._spool_name(since_s)
         tmp = os.path.join(self.spool_dir, f".{name}.tmp")
         with open(tmp, "w") as f:
             for ev in events:
