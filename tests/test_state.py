@@ -113,6 +113,103 @@ def test_open_sessions_close_on_watermark(spark, tmp_path):
     assert s.session_end == (base + pd.Timedelta("35 minutes")).to_pydatetime().replace(tzinfo=None)
 
 
+def _run_with_progress(spark, df, tmp, name, mode="update"):
+    sink = MemorySink()
+    q = (
+        df.writeStream.outputMode(mode)
+        .option("checkpointLocation", os.path.join(tmp, f"ckpt_{name}"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    prog = [p for p in q.recentProgress if p.get("stateOperators")]
+    q.stop()
+    return sink, prog
+
+
+def _mk_idle_src(tmp_path):
+    """c1 is active early then goes idle; c2's far-future turns advance
+    the watermark past c1's idle horizon."""
+    import time
+
+    src = tmp_path / "idle_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-03-01 09:00:00")
+
+    def mk(rows, f):
+        conv, idx, ts = zip(*rows)
+        pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": pd.array(idx, dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": ["x"] * len(rows),
+                "tool": [""] * len(rows),
+                "ts": pd.Series(ts).astype("datetime64[us]"),
+            }
+        ).to_parquet(src / f, index=False)
+        time.sleep(1.1)
+
+    mk([("c1", 0, base), ("c1", 1, base + pd.Timedelta("5 minutes"))], "f0.parquet")
+    mk([("c2", 0, base + pd.Timedelta("3 hours"))], "f1.parquet")
+    mk([("c2", 1, base + pd.Timedelta("6 hours"))], "f2.parquet")
+    return str(src), base
+
+
+def test_routing_counters_evict_idle_state(spark, tmp_path):
+    """Per-key counter state must NOT live forever: once the watermark
+    passes a conversation's last event + idle horizon, its state row is
+    removed — the 100 TB / months-long-run bound. The totals emitted
+    BEFORE eviction are unaffected."""
+    src_dir, base = _mk_idle_src(tmp_path)
+    stream = transcripts_stream(spark, src_dir, max_files_per_trigger=1)
+    counters = routing_counters(
+        stream, watermark="10 minutes", idle_timeout_seconds=600
+    )
+    sink, prog = _run_with_progress(spark, counters, str(tmp_path), "cnt_evict")
+    final = {}
+    for _, rows in sink.batches:
+        for r in rows:
+            final[r.conv_id] = r.n_total
+    assert final == {"c1": 2, "c2": 2}  # emissions complete despite eviction
+    # after the last batch only c2 is inside the idle horizon: c1's
+    # state row was evicted by the event-time timeout
+    assert prog, "no stateOperators progress recorded"
+    assert prog[-1]["stateOperators"][0]["numRowsTotal"] == 1
+    assert any(
+        p["stateOperators"][0].get("numRowsRemoved", 0) > 0 for p in prog
+    )
+
+
+def test_stateful_dedup_evicts_idle_state_and_still_dedups(spark, tmp_path):
+    """Same eviction bound for the dedup seen-sets; duplicates within
+    the horizon are still dropped after other keys were evicted."""
+    src_dir, base = _mk_idle_src(tmp_path)
+    import time
+
+    # a duplicate of c2 turn 1 in a later file: still deduped
+    pd.DataFrame(
+        {
+            "conv_id": ["c2"],
+            "turn_idx": pd.array([1], dtype="int32"),
+            "role": ["user"],
+            "text": ["x"],
+            "tool": [""],
+            "ts": pd.Series([pd.Timestamp("2024-03-01 15:00:00")]).astype(
+                "datetime64[us]"
+            ),
+        }
+    ).to_parquet(os.path.join(src_dir, "f3.parquet"), index=False)
+    time.sleep(1.1)
+    stream = transcripts_stream(spark, src_dir, max_files_per_trigger=1)
+    deduped = stateful_dedup(stream, watermark="10 minutes", idle_timeout_seconds=600)
+    sink, prog = _run_with_progress(spark, deduped, str(tmp_path), "dedup_evict", "append")
+    got = sorted((r.conv_id, r.turn_idx) for r in sink.rows())
+    assert got == [("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1)]  # dup dropped
+    assert prog[-1]["stateOperators"][0]["numRowsTotal"] == 1  # c1 evicted
+    assert any(p["stateOperators"][0].get("numRowsRemoved", 0) > 0 for p in prog)
+
+
 def test_byte_cap_flush_counts(spark, src, tmp_path):
     """batch_max_bytes parity (sinkNode.go:105-125): flush rows appear
     whenever a prefix buffer would exceed the cap; each flushed buffer

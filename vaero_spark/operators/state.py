@@ -145,39 +145,92 @@ def track_open_sessions(
 # stateful dedup (seen-set per conversation)
 # ---------------------------------------------------------------------------
 
-DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.IntegerType()))])
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen", T.ArrayType(T.IntegerType())),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+# Event-time idle horizon after which a key's state is evicted (both
+# custom-state ops below). Without eviction, one state row per
+# conversation lives FOREVER — on a months-long run over 10^9
+# conversations the state store grows without bound. A key idle longer
+# than this (in event time) is removed:
+#  - dedup: a duplicate arriving later than the idle horizon has an
+#    event time below ``watermark − idle`` and is already dropped by
+#    the watermark's late-row filter before reaching the operator, so
+#    eviction cannot re-admit it (keep idle ≥ the watermark delay);
+#  - counters: a conversation resuming after the horizon restarts at
+#    zero — partial counts merge downstream by summing per conv_id
+#    (the update-mode consumer sums/replaces per key anyway).
+DEFAULT_IDLE_TIMEOUT_S = 24 * 3600
 
 
-def _dedup_fn(
-    key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (seen_list,) = state.get if state.exists else ([],)
-    seen = set(seen_list or [])
-    for pdf in pdf_iter:
-        fresh_mask = ~pdf["turn_idx"].isin(seen) & ~pdf["turn_idx"].duplicated()
-        out = pdf[fresh_mask]
-        seen.update(int(t) for t in out["turn_idx"])
-        if len(out):
-            yield out
-    state.update((sorted(seen),))
+def _pdf_ts_us(pdf: pd.DataFrame) -> "pd.Series":
+    us = pdf["ts"].astype("int64")
+    if pdf["ts"].dtype == "datetime64[ns]":
+        us = us // 1000
+    return us
 
 
-def stateful_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def _arm_idle_timeout(state: GroupState, last_us: int, idle_s: int) -> None:
+    """Evict the key once the watermark passes last-event + idle (ceil
+    to ms; must stay strictly above the current watermark)."""
+    state.setTimeoutTimestamp(
+        max(
+            -(-(last_us + idle_s * 1_000_000) // 1000),
+            state.getCurrentWatermarkMs() + 1,
+        )
+    )
+
+
+def _dedup_fn(idle_timeout_seconds: int):
+    def fn(
+        key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle past the horizon: seen-set expired
+            return
+        seen_list, last_us = state.get if state.exists else ([], 0)
+        seen = set(seen_list or [])
+        for pdf in pdf_iter:
+            fresh_mask = ~pdf["turn_idx"].isin(seen) & ~pdf["turn_idx"].duplicated()
+            out = pdf[fresh_mask]
+            seen.update(int(t) for t in out["turn_idx"])
+            if len(pdf):
+                last_us = max(last_us, int(_pdf_ts_us(pdf).max()))
+            if len(out):
+                yield out
+        state.update((sorted(seen), last_us))
+        _arm_idle_timeout(state, last_us, idle_timeout_seconds)
+
+    return fn
+
+
+def stateful_dedup(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    idle_timeout_seconds: int = DEFAULT_IDLE_TIMEOUT_S,
+) -> DataFrame:
     """Exactly-once per-(conv_id, turn_idx) pass-through — the custom-state
     generalization of ``dropDuplicates`` (reference seed: the Okta cursor
     ``>=`` late/dup gate, ``source_okta.py:91-113``). Keeps the full turn
-    row; the seen-set is bounded per conversation."""
+    row; the seen-set is bounded per conversation AND per-key state is
+    evicted after ``idle_timeout_seconds`` of event-time idleness (see
+    ``DEFAULT_IDLE_TIMEOUT_S`` for why eviction cannot re-admit a
+    duplicate when the horizon covers the watermark delay)."""
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     out_schema = T.StructType([f for f in stream.schema.fields if f.name in cols])
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _dedup_fn,
+            _dedup_fn(idle_timeout_seconds),
             outputStructType=out_schema,
             stateStructType=DEDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -202,44 +255,67 @@ COUNTER_STATE_SCHEMA = T.StructType(
         T.StructField("n_user", T.LongType()),
         T.StructField("n_tool", T.LongType()),
         T.StructField("n_error", T.LongType()),
+        T.StructField("last_us", T.LongType()),
     ]
 )
 
 
-def _counter_fn(
-    key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (conv_id,) = key
-    total, n_user, n_tool, n_error = state.get if state.exists else (0, 0, 0, 0)
-    for pdf in pdf_iter:
-        total += len(pdf)
-        n_user += int((pdf["role"] == "user").sum())
-        n_tool += int((pdf["role"] == "tool").sum())
-        n_error += int(pdf["text"].str.contains("error", regex=False).sum())
-    state.update((total, n_user, n_tool, n_error))
-    yield pd.DataFrame(
-        {
-            "conv_id": [conv_id],
-            "n_total": [total],
-            "n_user": [n_user],
-            "n_tool": [n_tool],
-            "n_error": [n_error],
-        }
-    )
+def _counter_fn(idle_timeout_seconds: int):
+    def fn(
+        key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            # idle past the horizon: evict. The final totals were already
+            # emitted on the last real update (update mode), so nothing
+            # is emitted here; a resuming conversation restarts at zero
+            # and partials merge downstream (DEFAULT_IDLE_TIMEOUT_S note).
+            state.remove()
+            return
+        total, n_user, n_tool, n_error, last_us = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        for pdf in pdf_iter:
+            total += len(pdf)
+            n_user += int((pdf["role"] == "user").sum())
+            n_tool += int((pdf["role"] == "tool").sum())
+            n_error += int(pdf["text"].str.contains("error", regex=False).sum())
+            if len(pdf):
+                last_us = max(last_us, int(_pdf_ts_us(pdf).max()))
+        state.update((total, n_user, n_tool, n_error, last_us))
+        _arm_idle_timeout(state, last_us, idle_timeout_seconds)
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_total": [total],
+                "n_user": [n_user],
+                "n_tool": [n_tool],
+                "n_error": [n_error],
+            }
+        )
+
+    return fn
 
 
-def routing_counters(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def routing_counters(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    idle_timeout_seconds: int = DEFAULT_IDLE_TIMEOUT_S,
+) -> DataFrame:
     """Running per-conversation routing statistics (north-star 'routing
-    counters' state)."""
+    counters' state). Per-key state is evicted after
+    ``idle_timeout_seconds`` of event-time idleness — the store holds
+    only conversations active within the horizon, not every conversation
+    ever seen."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _counter_fn,
+            _counter_fn(idle_timeout_seconds),
             outputStructType=COUNTER_OUTPUT_SCHEMA,
             stateStructType=COUNTER_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
