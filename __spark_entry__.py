@@ -661,12 +661,12 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """32-bit SimHash signature per doc (md5-derived bit votes)."""
+    """64-bit SimHash signature per doc (md5-derived bit votes)."""
     return DD.simhash_docs(CORPUS.documents_with_neardups(spark, sf_dir))
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: byte-band candidates + Hamming ≤ 3 verify."""
+    """SimHash near-dup pairs: 16-bit-band candidates + Hamming ≤ 3 verify."""
     return DD.simhash_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
 
 
@@ -842,8 +842,9 @@ _NGRAM_SQL = f"""{_D},
     {_jaccard_tail(50)}"""
 
 _SIMHASH_BANDS_DUCK = ", ".join(
-    f"CAST({i} AS VARCHAR) || ':' || CAST((simhash >> {8 * i}) & 255 AS VARCHAR)"
-    for i in range(4)
+    f"CAST({i} AS VARCHAR) || ':' || "
+    f"CAST((simhash >> {TXT.SIMHASH_BAND_BITS * i}) & {(1 << TXT.SIMHASH_BAND_BITS) - 1} AS VARCHAR)"
+    for i in range(TXT.SIMHASH_BANDS)
 )
 
 _SIMHASH_PAIRS_SQL = f"""{_D},

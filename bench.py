@@ -311,10 +311,12 @@ def run_scaling(sf_dir: str) -> dict:
 def run_scale_ops(sf_dir: str, replicas: int, cores: int) -> dict:
     """Scale demonstration for the dedup/ANN operators: synthesize
     ``replicas``× the documents/embeddings corpus with mutated copies
-    (replicas are NOT near-dups of each other — an ``r<k>`` token is
-    interleaved between every word, so shingle sets are disjoint across
-    replicas; embeddings are rotated per replica), then time MinHash+LSH
-    near-dup mining and LSH-bucketed ANN end-to-end."""
+    (replicas are NOT near-dups of each other — every word gets an
+    ``r<k>`` suffix, so token and shingle sets are disjoint across
+    replicas WITHOUT introducing a single dominant token that would
+    degenerate SimHash vote sums; embeddings are rotated per replica),
+    then time MinHash+LSH and SimHash near-dup mining plus LSH-bucketed
+    ANN end-to-end."""
     from pyspark.sql import functions as F
     from vaero_spark.operators import dedup as DD
     from vaero_spark.operators import similarity as SIM
@@ -329,7 +331,9 @@ def run_scale_ops(sf_dir: str, replicas: int, cores: int) -> dict:
         .select(
             (F.col("doc_id") + F.col("rep") * F.lit(10 * ND_OFFSET)).alias("doc_id"),
             F.regexp_replace(
-                "text", " ", F.concat(F.lit(" r"), F.col("rep").cast("string"), F.lit(" "))
+                F.col("text"),
+                F.lit("([^ ]+)"),
+                F.concat(F.lit("$1r"), F.col("rep").cast("string")),
             ).alias("text"),
         )
     )
@@ -342,6 +346,10 @@ def run_scale_ops(sf_dir: str, replicas: int, cores: int) -> dict:
     t0 = time.perf_counter()
     n_pairs = DD.minhash_lsh_pairs(corpus).count()
     t_minhash = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_sim_pairs = DD.simhash_pairs(corpus).count()
+    t_simhash = time.perf_counter() - t0
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     big_e = (
@@ -367,6 +375,8 @@ def run_scale_ops(sf_dir: str, replicas: int, cores: int) -> dict:
         "minhash_pairs": n_pairs,
         "minhash_sec": round(t_minhash, 1),
         "docs_per_sec": round(n_docs / t_minhash, 0),
+        "simhash_pairs": n_sim_pairs,
+        "simhash_sec": round(t_simhash, 1),
         "vecs": n_vecs,
         "ann_queries": n_q,
         "ann_results": n_ann,

@@ -97,13 +97,16 @@ def test_simhash_identical_text_same_hash(spark, docs_nd):
     joined = planted.alias("p").join(
         sh.alias("o"), F.col("p.orig_id") == F.col("o.doc_id")
     )
-    # near-dup text (one appended token) → small Hamming distance
+    # near-dup text (one appended token) → small Hamming distance.
+    # Bound scales with signature width: one extra token shifts each
+    # vote sum by ±1, flipping only near-zero-margin bits — measured
+    # max 8 / avg 2.5 of 64 bits on this corpus (was ≤6 of 32).
     ham = joined.select(
         F.bit_count(
             F.col("p.simhash").bitwiseXOR(F.col("o.simhash"))
         ).alias("h")
     )
-    assert ham.agg(F.max("h")).first()[0] <= 6
+    assert ham.agg(F.max("h")).first()[0] <= 12
 
 
 def test_exact_dedup_counts(spark, docs_nd):

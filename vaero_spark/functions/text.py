@@ -376,49 +376,67 @@ def band_keys_sql(sig: str, bands: int = MINHASH_BANDS, n: int = MINHASH_N) -> s
 
 
 # ---------------------------------------------------------------------------
-# simhash (32-bit, md5-derived per-token hashes, ±1 bit votes)
+# simhash (64-bit, md5-derived per-token hashes, ±1 bit votes)
 # ---------------------------------------------------------------------------
 
+# 64 bits with 16-bit bands, NOT 32 with 8-bit bands: at ≥10⁹ docs a
+# 32-bit signature floods Hamming≤3 with random collisions (birthday on
+# 2³²) and each 8-bit band holds N/256 docs ⇒ quadratic within-band pair
+# work. 16-bit bands give 2¹⁶ buckets/band (N/65536 per bucket) and the
+# 64-bit space keeps random near-collisions negligible — the same band
+# math as the embedding sign-band dedup in operators/similarity.py.
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
+# bit 63 is the sign bit of a BIGINT: its weight is -(2^63) in two's
+# complement (the combine below adds it LAST so no partial sum ever
+# leaves the signed-64 range in either engine — DuckDB errors on BIGINT
+# overflow where the JVM would silently wrap)
+_SIMHASH_BIT_WEIGHT = [1 << b for b in range(63)] + [-(1 << 63)]
+
+
 def simhash_agg(df, id_col: str = "doc_id", col: str = "text"):
-    """(id, ..., text) → (id, simhash): 32-bit simhash — per token take
-    the first 8 hex chars of md5 as a 32-bit value; each bit votes +1/-1
-    weighted by token multiplicity; simhash bit = 1 where the vote sum
-    is positive.
+    """(id, ..., text) → (id, simhash): 64-bit simhash — per token take
+    the first 16 hex chars of md5 as a 64-bit value; each bit votes
+    +1/-1 weighted by token multiplicity; simhash bit = 1 where the vote
+    sum is positive. Stored as a signed BIGINT (bit 63 = sign bit).
 
     Explode+aggregate shape (flat expressions, one shuffle with map-side
     combine) — see :func:`minhash_agg` for why nested array lambdas are
     avoided. Matches the DuckDB oracle's shape exactly."""
     tok = df.select(F.col(id_col), F.explode(tokens(col)).alias("_t"))
-    tok = tok.withColumn("_h8", F.substring(F.md5("_t"), 1, 8))
+    tok = tok.withColumn("_h16", F.substring(F.md5("_t"), 1, 16))
 
-    # bit b of token value = (nibble[8 - b//4] >> (b%4)) & 1
+    # bit b of token value = (nibble[16 - b//4] >> (b%4)) & 1
     def bit(b: int) -> Column:
-        j = 8 - b // 4
+        j = 16 - b // 4
         s = b % 4
-        d = F.instr(F.lit(_HEX), F.substring(F.col("_h8"), j, 1)) - 1
+        d = F.instr(F.lit(_HEX), F.substring(F.col("_h16"), j, 1)) - 1
         return F.shiftright(d, s).bitwiseAND(F.lit(1))
 
     votes = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"_v{b}") for b in range(32)
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"_v{b}")
+        for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
     sh = F.lit(0).cast("bigint")
-    for b in range(32):
-        sh = sh + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    for b in range(SIMHASH_BITS):
+        sh = sh + F.when(
+            F.col(f"_v{b}") > 0, F.lit(_SIMHASH_BIT_WEIGHT[b]).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return agg.select(F.col(id_col), sh.alias("simhash"))
 
 
 def simhash_sql(table: str, id_col: str = "doc_id", col: str = "text") -> str:
     """DuckDB twin via explode + group (same result, different shape)."""
     bit_sums = ",\n        ".join(
-        "SUM(CASE WHEN (strpos('{hx}', substr(h8, {j}, 1)) - 1) >> {s} & 1 = 1 "
-        "THEN 1 ELSE -1 END) AS s{b}".format(hx=_HEX, j=8 - b // 4, s=b % 4, b=b)
-        for b in range(32)
+        "SUM(CASE WHEN (strpos('{hx}', substr(h16, {j}, 1)) - 1) >> {s} & 1 = 1 "
+        "THEN 1 ELSE -1 END) AS s{b}".format(hx=_HEX, j=16 - b // 4, s=b % 4, b=b)
+        for b in range(SIMHASH_BITS)
     )
     combine = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(32)
+        f"CASE WHEN s{b} > 0 THEN CAST({_SIMHASH_BIT_WEIGHT[b]} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
     )
     return f"""
       SELECT {id_col}, {combine} AS simhash
@@ -426,7 +444,7 @@ def simhash_sql(table: str, id_col: str = "doc_id", col: str = "text") -> str:
         SELECT {id_col},
         {bit_sums}
         FROM (
-          SELECT {id_col}, substr(md5(t.tok), 1, 8) AS h8
+          SELECT {id_col}, substr(md5(t.tok), 1, 16) AS h16
           FROM {table}, unnest({tokens_sql(col)}) AS t(tok)
         )
         GROUP BY {id_col}

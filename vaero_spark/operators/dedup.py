@@ -11,8 +11,8 @@ python/source_okta.py:91-113`` — none of these exist there; SURVEY.md
   exact-Jaccard verification via a shingle inverted index. This is the
   standard shape that scales to 10^12 docs: no all-pairs anywhere; work
   is proportional to colliding candidates only.
-- **SimHash**      — per-row 32-bit signature (narrow), band join on
-  8-bit sub-bands, Hamming-distance verification with ``bit_count``.
+- **SimHash**      — per-row 64-bit signature (narrow), band join on
+  16-bit sub-bands, Hamming-distance verification with ``bit_count``.
 - **n-gram Jaccard** — inverted index on shingles (stop-shingles
   dropped) → pair intersection counts → exact Jaccard filter.
 - **embedding**    — exact/near dup via md5 of the int-quantized vector
@@ -196,7 +196,7 @@ def ngram_jaccard_pairs(
 
 
 def simhash_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — the per-doc 32-bit signature."""
+    """(doc_id, simhash) — the per-doc 64-bit signature (signed BIGINT)."""
     out = simhash_agg(df, id_col, text_col)
     return out if id_col == "doc_id" else out.withColumnRenamed(id_col, "doc_id")
 
@@ -209,9 +209,16 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
 
-    Candidate generation: split the 32-bit signature into 4 bytes; by
-    pigeonhole, any pair within Hamming 3 agrees on ≥1 byte — join on
-    (byte_idx, byte_value), then verify with bit_count(xor)."""
+    Candidate generation: split the 64-bit signature into 4 16-bit
+    bands; by pigeonhole, any pair within Hamming 3 agrees on ≥1 band —
+    join on (band_idx, band_value), then verify with bit_count(xor).
+    2¹⁶ buckets per band keep within-bucket pair work at (N/65536)² —
+    the 8-bit bands of a 32-bit signature would hold N/256 docs each
+    and collapse to quadratic at ≥10⁹ docs (see functions/text.py
+    ``SIMHASH_BITS``). The arithmetic shift's sign-extension is masked
+    off by ``& 0xFFFF`` (identical low bits either way)."""
+    from vaero_spark.functions.text import SIMHASH_BAND_BITS, SIMHASH_BANDS
+
     sh = simhash_docs(df, id_col, text_col)
     bands = sh.select(
         "doc_id",
@@ -222,9 +229,11 @@ def simhash_pairs(
                     F.concat_ws(
                         ":",
                         F.lit(str(i)),
-                        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).cast("string"),
+                        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .cast("string"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("band"),
