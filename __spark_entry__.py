@@ -652,11 +652,10 @@ def q_dedup_exact_docs(spark, sf_dir):
 
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs (banding → bucket join → exact-Jaccard
-    verify) over the planted-near-dup corpus."""
-    # the persisted shingle index of a PREVIOUS gate query is dead
-    # weight by now (the driver replays all queries in one session) —
-    # drop it so storage memory stays bounded across the suite
-    spark.catalog.clearCache()
+    verify) over the planted-near-dup corpus. The op manages its own
+    shingle-index cache: each invocation releases the previous op's
+    (operators/dedup._persist_managed), so the driver's full-suite
+    replay never accumulates storage memory."""
     return DD.minhash_lsh_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
 
 
@@ -671,8 +670,8 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard pairs via shingle inverted index."""
-    spark.catalog.clearCache()  # see q_dedup_minhash
+    """Exact n-gram Jaccard pairs via shingle inverted index (cache
+    self-managed, see q_dedup_minhash)."""
     return DD.ngram_jaccard_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
 
 

@@ -89,6 +89,24 @@ def test_ngram_jaccard_finds_short_doc_pairs(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_dedup_ops_release_previous_cache(spark, docs_nd):
+    """Each LSH op owns its persisted shingle index: a new invocation
+    unpersists the previous one, so repeated dedup calls in one session
+    hold at most ONE index in storage memory."""
+    DD.release_caches()
+    DD.minhash_lsh_pairs(docs_nd)
+    assert len(DD._ACTIVE_CACHES) == 1
+    first = DD._ACTIVE_CACHES[0]
+    DD.ngram_jaccard_pairs(docs_nd)
+    assert len(DD._ACTIVE_CACHES) == 1
+    assert DD._ACTIVE_CACHES[0] is not first
+    DD.release_caches()
+    assert not DD._ACTIVE_CACHES
+    # both ops share one logical plan for the index, so storageLevel is
+    # only conclusive once everything is released: nothing cached now
+    assert first.storageLevel.useMemory is False
+
+
 def test_simhash_identical_text_same_hash(spark, docs_nd):
     sh = DD.simhash_docs(docs_nd)
     planted = sh.filter(F.col("doc_id") >= CORPUS.ND_OFFSET).withColumn(

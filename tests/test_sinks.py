@@ -65,6 +65,32 @@ def test_dsl_pipeline_to_stub_sink(spark, tmp_path):
     assert len(dd.epochs) == 2  # one epoch per input file
 
 
+def test_stub_sink_never_counts(spark, transcripts_df):
+    """HttpStubSink must run ONE delivery job per epoch with the row
+    count observed on it — a separate count() would re-run the branch's
+    whole transform chain a second time per epoch."""
+    sink = HttpStubSink("datadog")
+    df = transcripts_df.limit(7)
+    _DF = type(df)
+    saved = {m: getattr(_DF, m) for m in ("count", "collect", "toPandas")}
+
+    def banned(name):
+        def _f(self, *a, **k):
+            raise AssertionError(f"stub sink called .{name}()")
+
+        return _f
+
+    for m in saved:
+        setattr(_DF, m, banned(m))
+    try:
+        rec = sink.write(df, epoch_id=0)
+    finally:
+        for m, fn in saved.items():
+            setattr(_DF, m, fn)
+    assert rec["rows"] == 7
+    assert sink.epochs == [{"service": "datadog", "epoch": 0, "rows": 7}]
+
+
 def test_iceberg_sink_guard(spark, transcripts_df):
     """Without the Iceberg runtime the sink must fail loudly, not write."""
     import pytest as _pytest

@@ -48,6 +48,31 @@ from vaero_spark.sources.corpus import quantized
 # needs no corpus-wide count() action to compute.
 STOP_SHINGLE_MAX_DF = 50
 
+# The shingle inverted index each LSH op builds is persisted (it feeds
+# both candidate generation and exact verification — a diamond), but the
+# op returns a LAZY DataFrame, so it cannot unpersist after its own
+# execution. Ownership is managed here instead: each new op invocation
+# releases the previous op's index, bounding storage memory to ONE
+# lingering index per session instead of one per invocation (and without
+# nuking unrelated user caches the way ``spark.catalog.clearCache()``
+# does). Call :func:`release_caches` to drop the last one eagerly.
+_ACTIVE_CACHES: list = []
+
+
+def release_caches() -> None:
+    """Unpersist intermediates registered by previous dedup-op calls.
+    Safe while their result DataFrames are still live — unpersist only
+    costs recompute, never correctness."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+
+
+def _persist_managed(df: DataFrame) -> DataFrame:
+    release_caches()
+    df.persist()
+    _ACTIVE_CACHES.append(df)
+    return df
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest id per distinct text (hash-groupBy — one shuffle
@@ -110,8 +135,8 @@ def minhash_lsh_pairs(
     """
     # one shingle inverted index feeds BOTH the signatures and the
     # exact-Jaccard verification — persist the diamond root so its
-    # (expensive) construction runs once
-    sh = doc_shingles(df, id_col, text_col).persist()
+    # (expensive) construction runs once (managed: see _persist_managed)
+    sh = _persist_managed(doc_shingles(df, id_col, text_col))
     sig = minhash_agg(sh, "doc_id", MINHASH_N)
     bands = sig.select(
         "doc_id", F.explode(band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_N)).alias("bk")
@@ -166,7 +191,7 @@ def ngram_jaccard_pairs(
     cap) for large near-dup clusters. Fully lazy — no driver-side
     action in the plan (asserted by tools/explain_audit.py's eager-job
     guard)."""
-    sh = doc_shingles(df, id_col, text_col).persist()  # shared by 3 consumers
+    sh = _persist_managed(doc_shingles(df, id_col, text_col))  # shared by 3 consumers
     informative = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -331,15 +331,27 @@ class HttpStubSink:
     ``sink_splunk.go:23-30``, each marked ``/* Replace here */``).
 
     Production wires an HTTP POST per partition batch here; in the
-    sandbox we record per-epoch row counts so routing tests can assert
-    delivery. Exactly-once is the TARGET system's job for HTTP sinks
+    sandbox the delivery job is a ``noop`` write with the per-epoch row
+    count piggybacked via ``observe`` — ONE job per epoch (a separate
+    ``count()`` would re-run the branch's whole transform chain a second
+    time). Exactly-once is the TARGET system's job for HTTP sinks
     (idempotency keys) — same caveat as the reference."""
 
     service: str
     epochs: list = field(default_factory=list)
 
     def write(self, batch_df: DataFrame, epoch_id: int) -> dict:
-        n = batch_df.count()
+        from pyspark.sql import Observation
+
+        obs = Observation(f"http_stub_{self.service}_{epoch_id}")
+        df = batch_df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # the delivery action (per-partition POST in production); the
+        # observation rides this job instead of a second count() pass
+        df.write.format("noop").mode("overwrite").save()
+        try:
+            n = obs.get["rows"]
+        except Exception:  # noqa: BLE001 — zero-task batch: no observation row
+            n = 0
         rec = {"service": self.service, "epoch": epoch_id, "rows": n}
         self.epochs.append(rec)
         return rec
