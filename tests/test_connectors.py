@@ -1,0 +1,288 @@
+"""Concrete okta / google_workspace connector presets driven against
+local HTTP stubs through the FULL chain: secrets resolution + header
+auth + rate limit + backoff + pagination + late/duplicate gate +
+exactly-once spool (reference source_okta.py / source_google_workspace.py
+shapes over vaero_cdk/http_connector.py)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from datetime import datetime, timedelta
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from vaero_spark.sources.connectors import (
+    _link_next_after,
+    build_google_workspace_fetch_page,
+    build_okta_fetch_page,
+)
+from vaero_spark.sources.paginated_api import (
+    ISO,
+    PaginatedApiSource,
+    PermanentApiError,
+    SteadyRateLimiter,
+)
+
+
+def _mk_events(n: int, key: str = "published") -> list[dict]:
+    t0 = datetime.strptime("2024-03-01T00:00:00.000000", ISO)
+    return [
+        {"event_id": i, key: (t0 + timedelta(seconds=60 * i)).strftime(ISO)}
+        for i in range(n)
+    ]
+
+
+class _OktaStub:
+    """Okta System Log shape: SSWS auth, sortOrder/since/after params,
+    RFC-5988 Link-header pagination, one injectable 429."""
+
+    def __init__(self, events: list[dict], page_size: int = 7, flaky_after: int | None = None):
+        self.events = sorted(events, key=lambda e: e["published"])
+        self.page_size = page_size
+        self.flake_left = 1 if flaky_after is not None else 0
+        self.flaky_after = flaky_after
+        self.requests: list[dict] = []
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802
+                parsed = urllib.parse.urlparse(self.path)
+                qs = {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
+                stub.requests.append(
+                    {"path": parsed.path, "qs": qs, "auth": self.headers.get("Authorization")}
+                )
+                if parsed.path != "/api/v1/logs":
+                    self.send_response(404); self.end_headers(); return
+                if self.headers.get("Authorization") != "SSWS tok-live":
+                    self.send_response(401); self.end_headers(); return
+                start = int(qs.get("after", "0"))
+                if stub.flake_left and stub.flaky_after == start:
+                    stub.flake_left -= 1
+                    self.send_response(429); self.end_headers(); return
+                # okta returns events from ~1 s BEFORE `since` too — the
+                # connector's gate must drop them (source_okta.py:91-113)
+                since = qs.get("since")
+                lo = 0
+                if since:
+                    cutoff = (datetime.strptime(since, ISO) - timedelta(seconds=1)).strftime(ISO)
+                    lo = sum(1 for e in stub.events if e["published"] < cutoff)
+                page = stub.events[lo + start : lo + start + stub.page_size]
+                body = json.dumps(page).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                if lo + start + stub.page_size < len(stub.events):
+                    nxt = start + stub.page_size
+                    self.send_header(
+                        "Link",
+                        f'<http://x/api/v1/logs?after={nxt}>; rel="next", '
+                        f'<http://x/api/v1/logs>; rel="self"',
+                    )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a) -> None:  # quiet
+                pass
+
+        self.httpd = HTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+
+
+def test_link_header_parsing():
+    h = {"Link": '<http://x/logs?after=abc&limit=5>; rel="next", <http://x/logs>; rel="self"'}
+    assert _link_next_after(h) == "abc"
+    assert _link_next_after({"Link": '<http://x/logs>; rel="self"'}) is None
+    assert _link_next_after({}) is None
+
+
+def test_okta_preset_full_chain(tmp_path):
+    """Secrets → SSWS header → pagination via Link header → 429 backoff
+    retry → late gate → spool, with the rate limiter pacing requests."""
+    events = _mk_events(20)
+    stub = _OktaStub(events, page_size=7, flaky_after=7)  # 2nd page 429s once
+    try:
+        args = {"host": f"http://127.0.0.1:{stub.port}", "token": "tok-stale"}
+
+        class FakeResolver:  # secrets refresh hot-swaps the token in place
+            refreshed = 0
+
+            def refresh_if_stale(self):
+                args["token"] = "tok-live"
+                FakeResolver.refreshed += 1
+
+        sleeps = []
+        src = PaginatedApiSource(
+            build_okta_fetch_page(args),
+            spool_dir=str(tmp_path / "spool"),
+            cursor_path=str(tmp_path / "cursor.json"),
+            event_time_key="published",
+            rate=SteadyRateLimiter(0.01),
+            backoff_factor=0.01,
+            secret_resolver=FakeResolver(),
+            _sleep=sleeps.append,
+        )
+        # start mid-stream: events before the cursor are served (the 1 s
+        # slop) but must be gated out
+        from vaero_spark.sources.paginated_api import ApiCursor
+
+        cur = ApiCursor()
+        cur.cursor = {"since": events[5]["published"]}
+        cur.store(str(tmp_path / "cursor.json"))
+
+        total = src.poll_until_exhausted()
+        assert total == 15  # events 5..19 exactly once
+        ids = []
+        for f in sorted((tmp_path / "spool").glob("*.jsonl")):
+            ids += [json.loads(l)["event_id"] for l in f.read_text().splitlines()]
+        assert sorted(ids) == list(range(5, 20))
+        assert len(ids) == len(set(ids))
+        assert FakeResolver.refreshed >= 1  # secrets refreshed per poll
+        assert all(r["auth"] == "SSWS tok-live" for r in stub.requests)
+        assert any(s >= 0.005 for s in sleeps)  # backoff and/or rate pacing slept
+        # pagination actually happened via the Link header
+        assert any(r["qs"].get("after") for r in stub.requests)
+        assert all(r["qs"].get("sortOrder") == "ASCENDING" for r in stub.requests)
+    finally:
+        stub.stop()
+
+
+def test_okta_preset_gives_up_on_permanent_error(tmp_path):
+    events = _mk_events(3)
+    stub = _OktaStub(events)
+    try:
+        args = {"host": f"http://127.0.0.1:{stub.port}", "token": "wrong"}  # → 401
+        src = PaginatedApiSource(
+            build_okta_fetch_page(args),
+            spool_dir=str(tmp_path / "spool"),
+            cursor_path=str(tmp_path / "cursor.json"),
+            event_time_key="published",
+            _sleep=lambda d: None,
+        )
+        with pytest.raises(PermanentApiError):
+            src.poll()
+    finally:
+        stub.stop()
+
+
+class _WorkspaceStub:
+    """admin-reports shape: bearer auth, startTime param, nextPageToken
+    body pagination, items list."""
+
+    def __init__(self, events: list[dict], page_size: int = 5):
+        self.events = sorted(events, key=lambda e: e["ts"])
+        self.page_size = page_size
+        self.requests: list[dict] = []
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802
+                parsed = urllib.parse.urlparse(self.path)
+                qs = {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
+                stub.requests.append(
+                    {"path": parsed.path, "qs": qs, "auth": self.headers.get("Authorization")}
+                )
+                if self.headers.get("Authorization") != "Bearer btok":
+                    self.send_response(401); self.end_headers(); return
+                lo = 0
+                if qs.get("startTime"):
+                    lo = sum(1 for e in stub.events if e["ts"] < qs["startTime"])
+                start = int(qs.get("pageToken", "0"))
+                page = stub.events[lo + start : lo + start + stub.page_size]
+                out = {"items": page}
+                if lo + start + stub.page_size < len(stub.events):
+                    out["nextPageToken"] = str(start + stub.page_size)
+                body = json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a) -> None:
+                pass
+
+        self.httpd = HTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+
+
+def test_google_workspace_preset_body_token_pagination(tmp_path):
+    events = _mk_events(12, key="ts")
+    stub = _WorkspaceStub(events, page_size=5)
+    try:
+        args = {
+            "base_url": f"http://127.0.0.1:{stub.port}",
+            "token": "btok",
+            "app": "admin",
+        }
+        src = PaginatedApiSource(
+            build_google_workspace_fetch_page(args),
+            spool_dir=str(tmp_path / "spool"),
+            cursor_path=str(tmp_path / "cursor.json"),
+            event_time_key="ts",
+            _sleep=lambda d: None,
+        )
+        assert src.poll_until_exhausted() == 12
+        ids = []
+        for f in sorted((tmp_path / "spool").glob("*.jsonl")):
+            ids += [json.loads(l)["event_id"] for l in f.read_text().splitlines()]
+        assert sorted(ids) == list(range(12))
+        assert any(r["qs"].get("pageToken") for r in stub.requests)
+        assert all("applications/admin" in r["path"] for r in stub.requests)
+    finally:
+        stub.stop()
+
+
+def test_okta_preset_via_dsl_engine(spark, tmp_path):
+    """DSL `source("okta", host=..., secret=...)` with NO user callable:
+    the engine builds the preset fetch_page, resolves the secret into
+    the args, and streams the spool exactly-once into the sink."""
+    import sys
+    import time
+
+    from vaero_spark.dsl import Vaero
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.streaming.engine import run_streaming_plan
+
+    events = _mk_events(10)
+    stub = _OktaStub(events, page_size=4)
+    try:
+        secret_cmd = (
+            f"{sys.executable} -c \"import json,sys; sys.stdin.read(); "
+            f"print(json.dumps({{'token': 'tok-live'}}))\""
+        )
+        v = Vaero().source(
+            "okta",
+            host=f"http://127.0.0.1:{stub.port}",
+            spool_dir=str(tmp_path / "spool"),
+            cursor_path=str(tmp_path / "cursor.json"),
+            schema="event_id long, published string",
+            interval=0.1,
+        ).secret(command=secret_cmd, secrets=[{"okta_api_token": "token"}])
+        plan = v.add("route", "okta").sink("memory", name="out").plan()
+        sink = MemorySink()
+        pipe = run_streaming_plan(
+            spark, plan, checkpoint_dir=str(tmp_path / "ckpt"),
+            sink_factory=lambda name, node: sink,
+        )
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline and not list((tmp_path / "spool").glob("*.jsonl")):
+                time.sleep(0.1)
+            pipe.process_all()
+        finally:
+            pipe.stop()
+        got = sorted(r.event_id for r in sink.rows())
+        assert got == list(range(10))
+        assert all(r["auth"] == "SSWS tok-live" for r in stub.requests)
+    finally:
+        stub.stop()

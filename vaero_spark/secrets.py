@@ -115,6 +115,9 @@ def resolve_plan_secrets(plan) -> list[SecretResolver]:
             r = SecretResolver.from_spec(spec, node.args)
             r.apply()
             resolvers.append(r)
+            # stash the live resolver on the node so pull sources can
+            # refresh per POLL, not just per epoch (execute.go:84-96)
+            node.args["_secret_resolver"] = r
         for ch in node.children:
             walk(ch)
 

@@ -1,0 +1,151 @@
+"""Concrete ``fetch_page`` presets for the paginated-API connector.
+
+The generic :class:`~vaero_spark.sources.paginated_api.PaginatedApiSource`
+owns cursor persistence, rate limiting, backoff, the late/duplicate
+gate, and the exactly-once spool; these presets supply the per-service
+HTTP shape so a DSL plan can say ``source("okta", host=..., ...)`` with
+no user callable — the parity gap from the reference's concrete
+connectors:
+
+- **okta** (``/root/reference/integrations/python/source_okta.py``):
+  ``GET {host}/api/v1/logs`` with header auth ``Authorization: SSWS
+  <token>``, query params ``sortOrder=ASCENDING`` + ``since=<cursor>``,
+  and RFC-5988 **Link-header pagination** — the ``after`` query param of
+  the ``rel="next"`` link is the page token (``source_okta.py:36-64``).
+  The response body is a JSON array of events.
+- **google_workspace**
+  (``integrations/python/source_google_workspace.py``): ``GET
+  {base}/activity/users/all/applications/{app}`` with bearer auth,
+  ``startTime=<cursor>``, and **body-token pagination** — the response
+  JSON carries ``items`` plus an optional ``nextPageToken``
+  (``source_google_workspace.py:188-199``).
+
+HTTP error policy matches the reference's retry predicate
+(``vaero_cdk/http_connector.py:101-102``: retry on 429 and 5xx):
+those map to :class:`TransientApiError` (the poller's exponential
+backoff retries them); other 4xx map to :class:`PermanentApiError`
+(give up loudly).
+
+Documented divergences from the reference services (sandbox has no
+network): event timestamps are expected in the connector's canonical
+``%Y-%m-%dT%H:%M:%S.%f`` form (production would normalize RFC-3339
+zone suffixes first), and the google preset polls ONE configured app
+per source (the reference round-robins a list — run one source per app,
+which also isolates their cursors).
+
+Auth tokens are read from the ``args`` mapping **at request time**, not
+captured at build time, so the secrets resolver's per-poll in-place
+refresh (``secrets.py``) hot-swaps credentials mid-stream.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Callable
+
+from vaero_spark.sources.paginated_api import (
+    PermanentApiError,
+    TransientApiError,
+)
+
+
+def http_get_json(
+    url: str, headers: dict, params: dict, timeout: float = 30.0
+) -> tuple[object, dict]:
+    """GET ``url?params`` → (parsed JSON body, response headers).
+
+    429/5xx → TransientApiError (backoff retries); other 4xx →
+    PermanentApiError; connection failures are transient."""
+    q = urllib.parse.urlencode({k: v for k, v in params.items() if v is not None})
+    req = urllib.request.Request(f"{url}?{q}" if q else url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode()), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        if e.code == 429 or 500 <= e.code < 600:
+            raise TransientApiError(f"HTTP {e.code} from {url}") from e
+        raise PermanentApiError(f"HTTP {e.code} from {url}") from e
+    except urllib.error.URLError as e:
+        raise TransientApiError(f"connection failure to {url}: {e}") from e
+
+
+def _link_next_after(headers: dict) -> str | None:
+    """Extract the ``after`` query param from the RFC-5988 ``Link``
+    header's ``rel="next"`` entry (the okta pagination token,
+    ``source_okta.py:50-62``)."""
+    link = headers.get("Link") or headers.get("link")
+    if not link:
+        return None
+    for part in link.split(","):
+        seg = part.split(";")
+        if len(seg) < 2 or 'rel="next"' not in "".join(seg[1:]):
+            continue
+        href = seg[0].strip().strip("<>")
+        qs = urllib.parse.parse_qs(urllib.parse.urlparse(href).query)
+        after = qs.get("after")
+        if after:
+            return after[0]
+    return None
+
+
+def build_okta_fetch_page(args: dict) -> Callable:
+    """``fetch_page`` for the Okta System Log API shape. Reads ``host``
+    and ``token`` from ``args`` per request (live secrets refresh)."""
+
+    def fetch_page(since_s: str | None, page_token: str | None):
+        events, headers = http_get_json(
+            f"{args['host'].rstrip('/')}/api/v1/logs",
+            headers={"Authorization": f"SSWS {args['token']}"},
+            params={
+                "sortOrder": "ASCENDING",
+                "since": since_s,
+                "after": page_token,
+                "limit": args.get("page_limit"),
+            },
+            timeout=float(args.get("http_timeout", 30.0)),
+        )
+        # okta's System Log always returns a next link; an empty page
+        # means caught-up — stop (source_okta.py:44-49)
+        next_token = _link_next_after(headers) if events else None
+        return events, next_token
+
+    return fetch_page
+
+
+def build_google_workspace_fetch_page(args: dict) -> Callable:
+    """``fetch_page`` for the Google Workspace admin-reports shape:
+    bearer auth + ``nextPageToken`` body pagination over one configured
+    ``app``."""
+
+    def fetch_page(since_s: str | None, page_token: str | None):
+        app = args.get("app", "admin")
+        body, _headers = http_get_json(
+            f"{args['base_url'].rstrip('/')}/activity/users/all/applications/{app}",
+            headers={
+                "Authorization": f"Bearer {args['token']}",
+                "Accept": "application/json",
+            },
+            params={
+                "startTime": since_s,
+                "pageToken": page_token,
+                "maxResults": args.get("page_limit"),
+            },
+            timeout=float(args.get("http_timeout", 30.0)),
+        )
+        return body.get("items", []), body.get("nextPageToken")
+
+    return fetch_page
+
+
+PRESET_FETCH_PAGE = {
+    "okta": build_okta_fetch_page,
+    "google_workspace": build_google_workspace_fetch_page,
+}
+
+# per-service default event-time key (okta logs carry `published`,
+# source_okta.py:95-99; workspace items are normalized to `ts` by the
+# stub/report layer)
+PRESET_EVENT_TIME_KEY = {"okta": "published", "google_workspace": "ts"}

@@ -75,20 +75,34 @@ def _resolve_stream_source(spark: SparkSession, node: OpNode) -> DataFrame:
         # pull source (ref vaero_cdk + source_okta.py): a driver-side
         # poller with persistent cursor / rate limit / backoff / late
         # gate, spooling into an exactly-once file stream. okta and
-        # google_workspace are this generic connector with their own
-        # fetch_page + event-time key.
+        # google_workspace get a CONCRETE fetch_page preset (HTTP GET,
+        # header auth via the secrets-resolved args, link/body-token
+        # pagination — sources/connectors.py) unless the plan supplies
+        # its own callable; `paginated_api` requires one.
+        from vaero_spark.sources.connectors import (
+            PRESET_EVENT_TIME_KEY,
+            PRESET_FETCH_PAGE,
+        )
         from vaero_spark.sources.paginated_api import (
             PaginatedApiSource,
             SteadyRateLimiter,
         )
 
+        fetch = node.args.get("fetch_page")
+        if fetch is None:
+            if node.op not in PRESET_FETCH_PAGE:
+                raise ValueError("paginated_api source requires fetch_page=")
+            fetch = PRESET_FETCH_PAGE[node.op](node.args)
         src = PaginatedApiSource(
-            fetch_page=node.args["fetch_page"],
+            fetch_page=fetch,
             spool_dir=node.args["spool_dir"],
             cursor_path=node.args["cursor_path"],
-            event_time_key=node.args.get("event_time_key", "ts"),
+            event_time_key=node.args.get(
+                "event_time_key", PRESET_EVENT_TIME_KEY.get(node.op, "ts")
+            ),
             max_events_per_poll=node.args.get("max_events_per_poll"),
             rate=SteadyRateLimiter(float(node.args.get("rate_increment", 0.0))),
+            secret_resolver=node.args.get("_secret_resolver"),
         )
         src.start_polling(float(node.args.get("interval", 10.0)))
         node.args["_server"] = src
