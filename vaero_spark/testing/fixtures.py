@@ -113,6 +113,7 @@ def write_transcripts_parquet(
     out_dir: str,
     n_files: int = 4,
     time_ordered: bool = True,
+    start_file_idx: int = 0,
     **kwargs,
 ) -> pd.DataFrame:
     """Write the fixture as ``n_files`` parquet files (so a file-stream
@@ -135,5 +136,9 @@ def write_transcripts_parquet(
     else:
         chunks = np.array_split(np.arange(len(pdf)), n_files)
     for i, idx in enumerate(chunks):
-        pdf.iloc[idx].to_parquet(path / f"part-{i:04d}.parquet", index=False)
+        # start_file_idx offsets the filenames so a SECOND batch can be
+        # appended to a dir a file-stream source is already watching
+        pdf.iloc[idx].to_parquet(
+            path / f"part-{start_file_idx + i:04d}.parquet", index=False
+        )
     return pdf
