@@ -10,12 +10,31 @@ Default mode (what the driver runs per-round):
   ``local[$SPARK_GRAFT_CPUS]`` (default 32), forcing each plan with a
   ``noop`` write (full execution, no driver collect).
 - Runs the full tap→transform→route→sink streaming pipeline (the
-  north-star metric: sustained turns/sec) at TWO parallelism levels —
-  ``local[8]`` and ``local[32]`` — on the SAME replicated input, in
-  fresh subprocesses (fresh JVM each, no warm-cache bias), and reports
-  throughput at both plus scaling efficiency ``(tput_4N / tput_N) / 4``
-  (the sandbox substitute for N vs 4N executors; north rule wants
-  ≥ 0.8).
+  north-star metric: sustained turns/sec) at TWO parallelism levels on
+  the SAME replicated input, in fresh subprocesses (fresh JVM each, no
+  warm-cache bias), and reports throughput at both plus scaling
+  efficiency ``(tput_4N / tput_N) / 4`` (the sandbox substitute for N
+  vs 4N executors; north rule wants ≥ 0.8).
+
+Measurement protocol (hardened in round 3 after the driver's round-2
+artifact diverged from same-day HEAD runs):
+
+- **3 fresh-JVM trials per level, MEDIAN reported** (best-of-N can
+  independently inflate/deflate the two levels; a single trial sits
+  anywhere in 0.73–0.93 on this host). All trials are in the JSON.
+- **All bench I/O on tmpfs** (``/dev/shm``): the sinks write ~GBs per
+  trial, and disk writeback from trial k was measured stealing
+  bandwidth from trial k+1 (plus ``sync`` between runs); tmpfs removes
+  the disk from the measured path entirely — the pipeline's compute,
+  shuffle, and commit protocol are unchanged.
+- **Pure-CPU multiprocessing control** at the same worker counts: its
+  efficiency bounds what ANY process-parallel workload can achieve on
+  this host at that moment — machine-readable host-noise context
+  beside the Spark number.
+- The final stdout line is COMPACT (headline + medians + efficiency;
+  the driver's tail-capture window is finite); the per-query map stays
+  in it per the driver contract, full trial detail goes to
+  ``BENCH/bench_details_latest.json``.
 
 Internal mode (used by the scaling subprocesses):
 
@@ -48,7 +67,14 @@ SCALING_CORES = (2, 8)
 REPLICATION = 100  # sf0.1 events x100 = 10M turns for the throughput job
 INPUT_FILES = 96  # with maxFilesPerTrigger=32 => 3 micro-batches
 FILES_PER_TRIGGER = 32
-BENCH_TMP = os.path.join(tempfile.gettempdir(), "vaero_bench")
+# tmpfs for ALL bench I/O when available (input + sink output +
+# checkpoints): sink writeback to the VM disk was a measured source of
+# cross-trial interference; RAM-backed files take the disk out of the
+# measured path without changing the pipeline (see module docstring)
+_TMP_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+BENCH_TMP = os.path.join(_TMP_BASE, "vaero_bench")
+DETAILS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "bench_details_latest.json")
 
 
 def _spark(cores: int, app: str):
@@ -169,7 +195,8 @@ def run_throughput(cores: int, input_dir: str, n_rows: int) -> dict:
     from vaero_spark.streaming.engine import run_streaming_fanout
 
     spark = _spark(cores, f"vaero_bench_tput_{cores}")
-    work = tempfile.mkdtemp(prefix=f"vaero_tput_{cores}_")
+    os.makedirs(BENCH_TMP, exist_ok=True)
+    work = tempfile.mkdtemp(prefix=f"vaero_tput_{cores}_", dir=BENCH_TMP)
 
     # Warm-up: same scan/transform/write code paths on a small slice —
     # compiles the generated code and primes the page cache.
@@ -237,57 +264,94 @@ def _one_throughput_run(cores: int, input_dir: str, n_rows: int) -> dict:
         return {"error": proc.stderr[-2000:]}
 
 
+def _median(xs: list[float]) -> float | None:
+    if not xs:
+        return None
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_cpu_control(workers=SCALING_CORES, per_worker_hashes: int = 600_000) -> dict:
+    """Pure-CPU multiprocessing control: the same fork-N-workers shape
+    with ZERO Spark, I/O, or shared state. Its N→4N efficiency is the
+    ceiling ANY process-parallel workload can reach on this host right
+    now — reported beside the Spark efficiency so host noise is
+    machine-readable (a Spark number can't honestly exceed it). Pool
+    creation and worker warm-up are OUTSIDE the timed window (only the
+    steady-state compute is the control)."""
+    import multiprocessing as mp
+
+    def tput(n_workers: int) -> float:
+        with mp.get_context("spawn").Pool(n_workers) as pool:
+            pool.map(_cpu_burn, [1_000] * n_workers)  # warm, untimed
+            t0 = time.perf_counter()
+            pool.map(_cpu_burn, [per_worker_hashes] * n_workers)
+            elapsed = time.perf_counter() - t0
+        return n_workers * per_worker_hashes / elapsed
+
+    lo, hi = (tput(w) for w in workers)
+    return {
+        "workers": list(workers),
+        "hashes_per_sec": [round(lo, 0), round(hi, 0)],
+        "efficiency": round(hi / lo / (workers[1] / workers[0]), 3),
+    }
+
+
+def _cpu_burn(n: int) -> int:
+    import hashlib
+
+    acc = b"seed"
+    for _ in range(n):
+        acc = hashlib.md5(acc).digest()
+    return acc[0]
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Same job, same input, two parallelism levels, fresh JVM each.
 
-    Each level runs ``SPARK_GRAFT_BENCH_TRIALS`` (default 2) times,
-    alternating levels, and reports the best sustained turns/sec — the
-    single-box sandbox has multi-x run-to-run variance from shared
-    disk/page-cache state, and best-of-N is the closest estimator of
-    unimpeded per-level capability.
-    """
-    # up to 2 trials, adaptively: single-box run-to-run variance (host
-    # steal, page cache) puts a one-trial efficiency anywhere in
-    # 0.80-0.96 across rounds — too thin for the >=0.8 north rule — so a
-    # second best-of trial runs ONLY when the first lands under 0.85
-    # (insurance without doubling every round's bench wall time).
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    Each level runs ``SPARK_GRAFT_BENCH_TRIALS`` (default 3) times,
+    alternating levels, and reports the MEDIAN sustained turns/sec per
+    level — not best-of-N: independently best-picking the two levels
+    can both inflate and deflate the ratio, and the round-2 driver
+    artifact showed exactly that failure mode. All trials are kept in
+    the output for auditability."""
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
     runs: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
 
-    def best(cores: int) -> dict:
-        ok = [r for r in runs[cores] if "turns_per_sec" in r]
-        if not ok:
-            return runs[cores][-1]
-        chosen = max(ok, key=lambda r: r["turns_per_sec"])
-        chosen["all_trials_turns_per_sec"] = [r["turns_per_sec"] for r in ok]
-        return chosen
-
-    def _eff_now() -> float | None:
-        b_lo, b_hi = best(SCALING_CORES[0]), best(SCALING_CORES[1])
-        if "turns_per_sec" not in b_lo or "turns_per_sec" not in b_hi:
-            return None
-        return b_hi["turns_per_sec"] / b_lo["turns_per_sec"] / (
-            SCALING_CORES[1] / SCALING_CORES[0]
-        )
-
-    for t in range(trials):
+    for _t in range(trials):
         for cores in SCALING_CORES:
             runs[cores].append(_one_throughput_run(cores, input_dir, n_rows))
-        e = _eff_now()
-        if e is not None and e >= 0.85:
-            break  # clean run; skip the insurance trial
+
+    def level(cores: int) -> dict:
+        ok = [r for r in runs[cores] if r.get("turns_per_sec")]
+        if not ok:
+            return {"error": runs[cores][-1].get("error", "all trials failed")}
+        med = _median([r["turns_per_sec"] for r in ok])
+        # representative trial = the one closest to the median (its
+        # epoch/row detail describes a typical run, not an outlier)
+        rep = min(ok, key=lambda r: abs(r["turns_per_sec"] - med))
+        return {
+            **rep,
+            "turns_per_sec": med,  # headline = median across trials
+            "all_trials_turns_per_sec": [r["turns_per_sec"] for r in ok],
+        }
 
     lo, hi = SCALING_CORES
-    b_lo, b_hi = best(lo), best(hi)
-    eff = _eff_now()
+    b_lo, b_hi = level(lo), level(hi)
+    eff = None
+    if b_lo.get("turns_per_sec") and b_hi.get("turns_per_sec"):
+        eff = b_hi["turns_per_sec"] / b_lo["turns_per_sec"] / (hi / lo)
     out = {
         "input_rows": n_rows,
-        "trials_per_level": len(runs[lo]),  # ACTUAL trials run (adaptive)
-        "max_trials": trials,
+        "trials_per_level": trials,
+        "estimator": "median",
         f"local[{lo}]": b_lo,
         f"local[{hi}]": b_hi,
         "scaling_efficiency": round(eff, 3) if eff is not None else None,
+        # host-noise bound: what pure CPU fork-join achieves right now
+        "cpu_control": run_cpu_control((lo, hi)),
     }
     # Supplementary full-width point, every round: keeps the 2→8
     # substitution auditable against the instructed 8→32 pair (the VM's
@@ -297,10 +361,11 @@ def run_scaling(sf_dir: str) -> dict:
     if 32 not in SCALING_CORES:
         sup = _one_throughput_run(32, input_dir, n_rows)
         out["local[32]_supplementary"] = sup
-        if "turns_per_sec" in sup and "turns_per_sec" in b_hi and sup["turns_per_sec"]:
+        if sup.get("turns_per_sec") and b_hi.get("turns_per_sec"):
             out["scaling_efficiency_8_32"] = round(
                 sup["turns_per_sec"] / b_hi["turns_per_sec"] / (32 / hi), 3
             )
+        out["cpu_control_8_32"] = run_cpu_control((hi, 32))
     return out
 
 
@@ -425,17 +490,50 @@ def main() -> None:
     scaling = None if args.no_scaling else run_scaling(sf_dir)
     total = round(time.perf_counter() - t0, 3)
 
+    # Full detail (every trial, every field) → side file; the LAST
+    # stdout line stays compact so the driver's finite tail-capture
+    # window can parse it (round 2's full-detail line overflowed it and
+    # the authoritative artifact recorded parsed: null).
+    detail = {
+        "queries": timings,
+        "sf": sf,
+        "cores": cpus,
+        "total_wall_sec": total,
+        "streaming_scaling": scaling,
+    }
+    os.makedirs(os.path.dirname(DETAILS_PATH), exist_ok=True)
+    with open(DETAILS_PATH, "w") as f:
+        json.dump(detail, f, indent=1)
+
     out = {
-        "metric": "headline query suite wall time + streaming pipeline turns/sec at 2 parallelism levels",
+        "metric": "query suite wall sec; turns/sec medians at N/4N cores in scaling",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "cores": cpus,
         "total_wall_sec": total,
     }
     if scaling is not None:
-        out["streaming_scaling"] = scaling
+        lo, hi = SCALING_CORES
+        b_lo, b_hi = scaling.get(f"local[{lo}]", {}), scaling.get(f"local[{hi}]", {})
+        sup = scaling.get("local[32]_supplementary", {})
+        out["scaling"] = {
+            "cores_n": lo,
+            "cores_4n": hi,
+            "turns_per_sec_n": b_lo.get("turns_per_sec"),
+            "turns_per_sec_4n": b_hi.get("turns_per_sec"),
+            "efficiency": scaling.get("scaling_efficiency"),
+            "estimator": f"median_of_{scaling.get('trials_per_level')}",
+            "trials_n": b_lo.get("all_trials_turns_per_sec"),
+            "trials_4n": b_hi.get("all_trials_turns_per_sec"),
+            "in_rows": scaling.get("input_rows"),
+            "out_rows": b_hi.get("out_rows"),
+            "turns_per_sec_32": sup.get("turns_per_sec"),
+            "efficiency_8_32": scaling.get("scaling_efficiency_8_32"),
+            "cpu_control_eff": (scaling.get("cpu_control") or {}).get("efficiency"),
+            "details": os.path.relpath(DETAILS_PATH, os.path.dirname(os.path.abspath(__file__))),
+        }
     print(json.dumps(out))
 
 
