@@ -311,17 +311,22 @@ def run_scaling(sf_dir: str) -> dict:
     """Same job, same input, two parallelism levels, fresh JVM each.
 
     Each level runs ``SPARK_GRAFT_BENCH_TRIALS`` (default 3) times,
-    alternating levels, and reports the MEDIAN sustained turns/sec per
-    level — not best-of-N: independently best-picking the two levels
-    can both inflate and deflate the ratio, and the round-2 driver
-    artifact showed exactly that failure mode. All trials are kept in
-    the output for auditability."""
+    GROUPED per level (all of local[N], then all of local[4N]), and
+    reports the MEDIAN sustained turns/sec per level — not best-of-N:
+    independently best-picking the two levels can both inflate and
+    deflate the ratio, and the round-2 driver artifact showed exactly
+    that failure mode. Grouping matters: measured back-to-back, the
+    FIRST run after a different workload dips ~10-30% (cold CPU/cgroup
+    state) and then stabilizes — alternating levels made every 4N trial
+    a first-after-transition run; grouped, the first trial of a group
+    absorbs the transition and the median reads steady state. All
+    trials are kept in the output for auditability."""
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
     runs: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
 
-    for _t in range(trials):
-        for cores in SCALING_CORES:
+    for cores in SCALING_CORES:
+        for _t in range(trials):
             runs[cores].append(_one_throughput_run(cores, input_dir, n_rows))
 
     def level(cores: int) -> dict:

@@ -65,6 +65,37 @@ def test_dsl_pipeline_to_stub_sink(spark, tmp_path):
     assert len(dd.epochs) == 2  # one epoch per input file
 
 
+def test_sink_via_hadoop_filesystem_uri(spark, transcripts_df, tmp_path):
+    """The exactly-once sink must run against a scheme-qualified root
+    (s3a:// / hdfs:// in production): with a `file:` URI every marker
+    and manifest operation goes through the JVM Hadoop FileSystem API —
+    the exact remote code path minus the network. Epoch re-delivery
+    must still dedup and read_committed must see only committed rows."""
+    root = f"file://{tmp_path}/sink"
+    sink = ExactlyOnceParquetSink(root)
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "concat('c', cast(id as string)) AS conv_id",
+            "cast(id AS int) AS turn_idx",
+            "'user' AS role",
+            "'x' AS text",
+            "'' AS tool",
+            "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+        )
+
+    m1 = sink.write(rows(0, 50), epoch_id=0)
+    assert m1["rows"] == 50
+    assert m1["partitions"], "lineage missing from hadoop-path manifest"
+    # re-delivery of the same epoch: deduped via the remote marker
+    m2 = sink.write(rows(0, 3), epoch_id=0)
+    assert m2["rows"] == 50  # the ORIGINAL manifest, not a rewrite
+    assert sink.read_committed(spark).count() == 50
+    # a second epoch lands beside the first
+    sink.write(rows(50, 60), epoch_id=1)
+    assert sink.read_committed(spark).count() == 60
+
+
 def test_stub_sink_never_counts(spark, transcripts_df):
     """HttpStubSink must run ONE delivery job per epoch with the row
     count observed on it — a separate count() would re-run the branch's

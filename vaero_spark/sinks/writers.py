@@ -12,11 +12,15 @@ Production target is the Iceberg sink (atomic snapshot commits); the
 sandbox image has no Iceberg jar, so :class:`ExactlyOnceParquetSink`
 implements the same contract on parquet + epoch manifests. The probe in
 :func:`iceberg_available` flips the writer when the runtime jar exists.
+The parquet sink itself is object-store-ready: give it an ``s3a://`` or
+``hdfs://`` root and the marker/manifest I/O rides the JVM Hadoop
+FileSystem client (``sinks/fs.py`` documents per-store commit
+atomicity); only the hadoop-aws jars + credentials are cluster-side
+concerns.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -93,9 +97,15 @@ class ExactlyOnceParquetSink:
     repartition_by_prefix: bool = True
 
     def write(self, batch_df: DataFrame, epoch_id: int) -> dict:
-        marker = os.path.join(self.path, "_epochs", f"{epoch_id}.json")
-        if os.path.exists(marker):
-            return json.load(open(marker))  # already committed — dedup re-delivery
+        # marker I/O goes through the scheme-aware shim, so the same
+        # sink runs against s3a://, hdfs://, or a local dir (sinks/fs.py
+        # documents the per-store commit-atomicity mechanism)
+        from vaero_spark.sinks.fs import SinkFS
+
+        fs = SinkFS(self.path, batch_df.sparkSession)
+        marker = fs.join(self.path, "_epochs", f"{epoch_id}.json")
+        if fs.exists(marker):
+            return fs.read_json(marker)  # already committed — dedup re-delivery
 
         # Single-pass accounting: piggyback row/null-ts counters on the
         # write job itself via `observe` — no extra count() passes over
@@ -127,7 +137,7 @@ class ExactlyOnceParquetSink:
         # north-star per-turn ordering invariant): sort within partitions
         # before write — cheap, no extra shuffle beyond the partitioner.
         order = [c for c in self.order_cols if c in df.columns]
-        epoch_dir = os.path.join(self.path, "data", f"epoch={epoch_id}")
+        epoch_dir = fs.join(self.path, "data", f"epoch={epoch_id}")
         if has_ts and self.repartition_by_prefix:
             df = df.repartition(F.col("prefix"))
 
@@ -197,29 +207,15 @@ class ExactlyOnceParquetSink:
         # committed files themselves (no extra Spark job). The Iceberg
         # sink gets this natively from snapshot manifests; here the
         # epoch manifest carries it for the parquet sandbox sink.
-        partitions = {}
-        for root, _dirs, files in os.walk(epoch_dir):
-            pq = [f for f in files if f.endswith(".parquet")]
-            if not pq:
-                continue
-            rel = os.path.relpath(root, epoch_dir)
-            partitions[rel] = {
-                "files": len(pq),
-                "bytes": sum(os.path.getsize(os.path.join(root, f)) for f in pq),
-            }
         manifest = {
             "epoch": epoch_id,
             "rows": kept,
             "dropped_null_ts": dropped,
             "committed_at": time.time(),
             "path": epoch_dir,
-            "partitions": partitions,
+            "partitions": fs.partition_stats(epoch_dir),
         }
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, marker)  # atomic commit point
+        fs.write_json_atomic(marker, manifest)  # the commit point
         return manifest
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:
@@ -228,18 +224,18 @@ class ExactlyOnceParquetSink:
     def read_committed(self, spark) -> DataFrame:
         """Read back only committed epochs (uncommitted partial data is
         invisible — snapshot-isolation semantics like Iceberg)."""
-        epochs_dir = os.path.join(self.path, "_epochs")
-        if not os.path.isdir(epochs_dir):
-            return spark.createDataFrame([], "conv_id string")
+        from vaero_spark.sinks.fs import SinkFS
+
+        fs = SinkFS(self.path, spark)
+        epochs_dir = fs.join(self.path, "_epochs")
         paths = []
-        for m in sorted(os.listdir(epochs_dir)):
-            if m.endswith(".json"):
-                mf = json.load(open(os.path.join(epochs_dir, m)))
-                if mf["rows"] > 0:
-                    paths.append(mf["path"])
+        for m in fs.list_json(epochs_dir):
+            mf = fs.read_json(fs.join(epochs_dir, m))
+            if mf["rows"] > 0:
+                paths.append(mf["path"])
         if not paths:
             return spark.createDataFrame([], "conv_id string")
-        return spark.read.option("basePath", os.path.join(self.path, "data")).parquet(*paths)
+        return spark.read.option("basePath", fs.join(self.path, "data")).parquet(*paths)
 
 
 @dataclass
