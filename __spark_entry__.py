@@ -24,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from vaero_spark.dsl import Vaero
 from vaero_spark.compiler import compile_batch
+from vaero_spark.operators.assemble import assemble_sql as _assemble_sql
 from vaero_spark.functions import text as TXT
 from vaero_spark.operators import dedup as DD
 from vaero_spark.operators import multimodal as MM
@@ -360,6 +361,37 @@ def q_stream_dedup(spark, sf_dir):
     return sink.read_committed(spark).drop("prefix", "epoch")
 
 
+def q_stream_dedup_wm(spark, sf_dir):
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts seen-keys once the watermark passes their event time + delay —
+    the shape that survives 10^12 turns, vs dropDuplicates' forever-state
+    (`stream_dedup`). On the gate fixture every duplicate arrives within
+    the horizon, so the result equals full dedup bit-for-bit."""
+    import tempfile
+
+    from vaero_spark.sinks.writers import ExactlyOnceParquetSink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_sdedupwm_")
+    inp = _gate_stream_input(spark, sf_dir, "dupes")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = ExactlyOnceParquetSink(f"{work}/out")
+    q = (
+        src.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        .writeStream.option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sink.read_committed(spark).drop("prefix", "epoch")
+
+
 def q_stream_session(spark, sf_dir):
     """Streaming session windows (30 min gap) with an event-time
     watermark, emitted in append mode through an exactly-once sink.
@@ -675,6 +707,29 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup canonicalization: connected components over the
+    MinHash+LSH pair graph via iterative min-label propagation (lazy
+    joins + groupBy-min; no driver actions) — doc_id == cluster_id
+    marks the canonical keeper per cluster."""
+    return DD.neardup_clusters(CORPUS.documents_with_neardups(spark, sf_dir))
+
+
+def q_conv_assemble(spark, sf_dir):
+    """Conversation-document assembly: turns → one role-tagged training
+    document per conversation with integrity columns (the canonical
+    last step of a transcript training-data pipeline)."""
+    from vaero_spark.operators.assemble import assemble_conversations
+
+    return assemble_conversations(load_transcripts(spark, sf_dir))
+
+
+def q_txt_topk_tokens(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: top-100 tokens by frequency,
+    deterministic tiebreak; distributed top-k (TakeOrderedAndProject)."""
+    return TXT.token_topk(CORPUS.load_documents(spark, sf_dir))
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding dedup: md5 of int-quantized vectors, hash-groupBy."""
     return DD.embedding_dup_groups(CORPUS.embeddings_with_dups(spark, sf_dir))
@@ -756,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers": q_top_customers,
         "stream_pipeline": q_stream_pipeline,
         "stream_dedup": q_stream_dedup,
+        "stream_dedup_wm": q_stream_dedup_wm,
         "stream_session": q_stream_session,
         "stream_join": q_stream_join,
         "stream_counters": q_stream_counters,
@@ -766,8 +822,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
+        "txt_topk_tokens": q_txt_topk_tokens,
+        "conv_assemble": q_conv_assemble,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -796,9 +855,9 @@ _M = f"WITH {CORPUS.MEDIA_ORACLE_CTE}"
 _SHINGLES = TXT.shingles_sql(TXT.tokens_sql())
 
 
-def _jaccard_tail(min_pct: int) -> str:
-    """Shared verification tail: exact Jaccard from `cand` (id_a, id_b)
-    and `shingle_rows` (doc_id, shingle)."""
+def _jaccard_cte(min_pct: int) -> str:
+    """Shared verification CTEs: exact Jaccard from `cand` (id_a, id_b)
+    and `shingle_rows` (doc_id, shingle) → `vpairs`."""
     return f"""
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingle_rows GROUP BY doc_id),
         inter AS (
@@ -806,23 +865,20 @@ def _jaccard_tail(min_pct: int) -> str:
           FROM cand c
           JOIN shingle_rows sa ON sa.doc_id = c.id_a
           JOIN shingle_rows sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-          GROUP BY c.id_a, c.id_b)
-        SELECT i.id_a, i.id_b, i.inter,
-               za.n_sh + zb.n_sh - i.inter AS union_n
-        FROM inter i
-        JOIN sizes za ON za.doc_id = i.id_a
-        JOIN sizes zb ON zb.doc_id = i.id_b
-        WHERE 100 * i.inter >= {min_pct} * (za.n_sh + zb.n_sh - i.inter)"""
+          GROUP BY c.id_a, c.id_b),
+        vpairs AS (
+          SELECT i.id_a, i.id_b, i.inter,
+                 za.n_sh + zb.n_sh - i.inter AS union_n
+          FROM inter i
+          JOIN sizes za ON za.doc_id = i.id_a
+          JOIN sizes zb ON zb.doc_id = i.id_b
+          WHERE 100 * i.inter >= {min_pct} * (za.n_sh + zb.n_sh - i.inter))"""
 
 
-_MINHASH_SQL = f"""{_D},
-    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents_nd),
-    shingle_rows AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
-    sig AS ({TXT.minhash_sig_select_sql('shingle_rows')}),
-    bands AS (SELECT doc_id, unnest({TXT.band_keys_sql('sig')}) AS bk FROM sig),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-    {_jaccard_tail(50)}"""
+def _jaccard_tail(min_pct: int) -> str:
+    return f"{_jaccard_cte(min_pct)} SELECT id_a, id_b, inter, union_n FROM vpairs"
+
+
 
 _NGRAM_SQL = f"""{_D},
     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents_nd),
@@ -839,6 +895,31 @@ _NGRAM_SQL = f"""{_D},
              GROUP BY 1, 2
              HAVING count(*) >= least(2, min(za.n_sh), min(zb.n_sh))),
     {_jaccard_tail(50)}"""
+
+# MinHash pairs → symmetric edges → connected components by recursive
+# min-label reachability (cluster id = min reachable doc id), the DuckDB
+# twin of the iterative label propagation in operators/dedup.py.
+_MINHASH_BODY = f"""
+    sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents_nd),
+    shingle_rows AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh),
+    sig AS ({TXT.minhash_sig_select_sql('shingle_rows')}),
+    bands AS (SELECT doc_id, unnest({TXT.band_keys_sql('sig')}) AS bk FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    {_jaccard_cte(50)}"""
+
+_CLUSTERS_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
+    {_MINHASH_BODY},
+    sym AS (SELECT id_a AS a, id_b AS b FROM vpairs
+            UNION ALL SELECT id_b, id_a FROM vpairs),
+    reach AS (
+      SELECT a AS node, a AS lab FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
+
+_MINHASH_SQL = f"{_D}, {_MINHASH_BODY} SELECT id_a, id_b, inter, union_n FROM vpairs"
 
 _SIMHASH_BANDS_DUCK = ", ".join(
     f"CAST({i} AS VARCHAR) || ':' || "
@@ -1038,6 +1119,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT *, 'rest' AS route FROM tx WHERE role != 'tool'""",
         "stream_dedup": f"{_TD} SELECT DISTINCT * FROM transcripts_dup",
+        # bounded-state dedup == full dedup on the gate fixture (every
+        # dup arrives inside the watermark horizon)
+        "stream_dedup_wm": f"{_TD} SELECT DISTINCT * FROM transcripts_dup",
         # push ingestion round-trip: break(join(events)) == events + the
         # two automatic fields
         "http_ingest": f"""{_T}
@@ -1086,11 +1170,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST({TXT.lang_id_sql()} = lang AS INTEGER) AS agree
             FROM documents""",
         "txt_fingerprint": f"SELECT doc_id, {TXT.fingerprint_sql()} AS fingerprint FROM documents",
+        "txt_topk_tokens": TXT.token_topk_sql("documents"),
+        "conv_assemble": f"{_T} {_assemble_sql('transcripts')}",
         "dedup_exact_docs": f"""{_D}
             SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
                    count(*) AS n_copies
             FROM documents_nd GROUP BY md5(text)""",
         "dedup_minhash": _MINHASH_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _NGRAM_SQL,

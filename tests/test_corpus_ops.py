@@ -127,6 +127,61 @@ def test_simhash_identical_text_same_hash(spark, docs_nd):
     assert ham.agg(F.max("h")).first()[0] <= 12
 
 
+def test_neardup_clusters_transitive_chain(spark):
+    """A transitive near-dup chain A~B~C (A and C NOT directly similar
+    enough to pair) must land in ONE cluster labeled by the min id, and
+    max_iters must cover the chain diameter."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, base),
+        (2, base + " one"),          # ~ 1
+        (3, base + " one two"),      # ~ 2 (and 1)
+        (9, "completely different words everywhere here today"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r.cluster_id for r in DD.neardup_clusters(df, max_iters=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}  # one cluster, canonical = min id; 9 absent
+
+
+def test_neardup_clusters_match_planted_pairs(spark, docs_nd):
+    """Every planted near-dup pair collapses into a cluster whose
+    canonical id is the original doc."""
+    pairs = {(r.id_a, r.id_b) for r in DD.minhash_lsh_pairs(docs_nd).collect()}
+    clusters = {r.doc_id: r.cluster_id for r in DD.neardup_clusters(docs_nd).collect()}
+    assert set(clusters) == {d for p in pairs for d in p}  # exactly the pair participants
+    for a, b in pairs:
+        assert clusters[a] == clusters[b], (a, b)
+
+
+def test_conv_assemble_order_and_integrity(spark):
+    from vaero_spark.operators.assemble import assemble_conversations
+
+    rows = [
+        ("c1", 1, "assistant", "hi there"),
+        ("c1", 0, "user", "hello"),
+        ("c1", 2, "user", "bye"),
+        ("c2", 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {r.conv_id: r for r in assemble_conversations(df).collect()}
+    assert got["c1"].doc == "user: hello\nassistant: hi there\nuser: bye"
+    assert got["c1"].n_turns == 3
+    assert got["c2"].doc == "user: solo"
+    assert got["c2"].doc_chars == len("user: solo")
+    import hashlib
+
+    assert got["c1"].doc_md5 == hashlib.md5(got["c1"].doc.encode()).hexdigest()
+
+
+def test_token_topk_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a c")], ["doc_id", "text"]
+    )
+    got = [(r.token, r.n, r.rank) for r in TXT.token_topk(df, k=3).collect()]
+    # a and b tie at 2 → token ASC breaks the tie
+    assert sorted(got, key=lambda x: x[2]) == [("a", 2, 1), ("b", 2, 2), ("c", 1, 3)]
+
+
 def test_exact_dedup_counts(spark, docs_nd):
     base = docs_nd.count()
     groups = DD.exact_dedup(docs_nd)

@@ -197,6 +197,45 @@ def lang_id_sql(col: str = "text") -> str:
 
 
 # ---------------------------------------------------------------------------
+# vocabulary heavy hitters (token top-k)
+# ---------------------------------------------------------------------------
+
+TOPK_TOKENS = 100
+
+
+def token_topk(df, text_col: str = "text", k: int = TOPK_TOKENS):
+    """Top-``k`` most frequent whitespace tokens with a deterministic
+    (count DESC, token ASC) tiebreak — the corpus-vocabulary probe every
+    training-data pipeline runs before tokenizer/filter decisions.
+
+    Distributed shape: explode → hash-groupBy on token (map-side
+    combine collapses each partition to its distinct tokens before the
+    shuffle) → distributed top-k (``TakeOrderedAndProject``, never a
+    global sort); the rank window runs over the k survivors only."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def token_topk_sql(table: str = "documents", text_col: str = "text", k: int = TOPK_TOKENS) -> str:
+    return f"""
+        SELECT token, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
+        FROM (
+          SELECT t.tok AS token, COUNT(*) AS n
+          FROM {table}, unnest({tokens_sql(text_col)}) AS t(tok)
+          GROUP BY 1
+        ) QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
 # materialized array columns
 #
 # PERFORMANCE RULE for every op below: expressions referenced inside

@@ -67,8 +67,12 @@ def release_caches() -> None:
         _ACTIVE_CACHES.pop().unpersist()
 
 
-def _persist_managed(df: DataFrame) -> DataFrame:
-    release_caches()
+def _persist_managed(df: DataFrame, keep_existing: bool = False) -> DataFrame:
+    """``keep_existing=True`` registers an ADDITIONAL cache for the
+    current op (e.g. the pair graph on top of the shingle index) without
+    releasing the ones the same invocation already holds."""
+    if not keep_existing:
+        release_caches()
     df.persist()
     _ACTIVE_CACHES.append(df)
     return df
@@ -217,6 +221,65 @@ def ngram_jaccard_pairs(
     verified = pair_jaccard(cand, sh)
     return verified.filter(
         F.lit(100) * F.col("inter") >= F.lit(min_jaccard_pct) * F.col("union_n")
+    )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 50,
+    max_iters: int = 4,
+) -> DataFrame:
+    """Canonicalize near-dups: connected components over the MinHash+LSH
+    pair graph — the step that turns pairwise findings into a
+    keep-one-per-cluster dedup decision. Output: (doc_id, cluster_id)
+    for every doc that participates in ≥1 near-dup pair, cluster_id =
+    the minimum doc_id reachable (so ``doc_id == cluster_id`` marks the
+    canonical keeper).
+
+    Distributed shape: iterative min-label propagation — each round is
+    one equi-join (edge → neighbor label) + one groupBy-min, then a
+    ``localCheckpoint`` that MATERIALIZES the (cluster-participant-
+    sized) label table and truncates its lineage. The truncation is not
+    optional: each round references the previous labels twice (union +
+    join), so an all-lazy loop re-analyzes/re-evaluates rounds 1..k-1
+    down both references — a 2^k blow-up (measured 471 s for 137 nodes
+    at 8 rounds; checkpointed: ~2 s). Per-round materialization is the
+    standard shape for iterative graph algorithms on Spark (GraphX/
+    GraphFrames iterate the same way); the jobs are executor-side, no
+    driver collect. ``max_iters`` bounds the reachable graph diameter:
+    near-dup components are shallow (planted pairs / boilerplate
+    families); raise it for deeper graphs (converges in O(diameter))."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, min_jaccard_pct)
+    edges = pairs.select("id_a", "id_b")
+    # persist the (tiny) symmetric edge list: every propagation round
+    # references it, and without the cache each round would re-run the
+    # whole MinHash pipeline (keep_existing: the op's shingle index is
+    # already registered by minhash_lsh_pairs)
+    sym = _persist_managed(
+        edges.unionByName(
+            edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ),
+        keep_existing=True,
+    )
+    labels = sym.select(F.col("id_a").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(max_iters):
+        prop = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
+            .select(F.col("e.id_a").alias("node"), F.col("l.lab").alias("lab"))
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()  # see docstring: truncates the 2^k lineage
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )
 
 
