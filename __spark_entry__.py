@@ -730,6 +730,12 @@ def q_txt_topk_tokens(spark, sf_dir):
     return TXT.token_topk(CORPUS.load_documents(spark, sf_dir))
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus composition report (docs, token/char volume,
+    mean quality) — tokenized once, one hash-groupBy on lang."""
+    return TXT.corpus_stats(CORPUS.load_documents(spark, sf_dir))
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding dedup: md5 of int-quantized vectors, hash-groupBy."""
     return DD.embedding_dup_groups(CORPUS.embeddings_with_dups(spark, sf_dir))
@@ -823,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
         "txt_topk_tokens": q_txt_topk_tokens,
+        "corpus_stats": q_corpus_stats,
         "conv_assemble": q_conv_assemble,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_minhash": q_dedup_minhash,
@@ -1171,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "txt_fingerprint": f"SELECT doc_id, {TXT.fingerprint_sql()} AS fingerprint FROM documents",
         "txt_topk_tokens": TXT.token_topk_sql("documents"),
+        "corpus_stats": TXT.corpus_stats_sql("documents"),
         "conv_assemble": f"{_T} {_assemble_sql('transcripts')}",
         "dedup_exact_docs": f"""{_D}
             SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,

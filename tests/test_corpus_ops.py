@@ -173,6 +173,42 @@ def test_conv_assemble_order_and_integrity(spark):
     assert got["c1"].doc_md5 == hashlib.md5(got["c1"].doc.encode()).hexdigest()
 
 
+def test_lang_id_detects_each_language(spark):
+    """The gate corpus has no language signal (every `lang` label gets
+    the same synthetic vocabulary), so the oracle parity there cannot
+    exercise detection — this pins the predictor on REAL signal: each
+    language's stopwords dominate → that language; CJK chars → zh;
+    no signal → 'en' (the deterministic tiebreak)."""
+    rows = [
+        ("en", "the cat sat on a mat and the dog is near"),
+        ("de", "der hund und die katze das haus und der baum ist"),
+        ("fr", "le chien et la maison les arbres et est grande"),
+        ("es", "el perro y los gatos las casas y que grande"),
+        ("zh", "你好世界 some latin too"),
+        ("en", "zzz qqq www no stopwords anywhere"),
+    ]
+    df = spark.createDataFrame(rows, ["want", "text"])
+    got = df.select("want", TXT.lang_id("text").alias("pred")).collect()
+    for r in got:
+        assert r.pred == r.want, (r.want, r.pred)
+
+
+def test_corpus_stats_groups_and_volumes(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        ("the cat is on the mat",),     # en: 6 tokens
+        ("der hund und die katze",),    # de: 5 tokens
+        ("der baum und das haus ist",), # de: 6 tokens
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = {r.lang: r for r in TXT.corpus_stats(df).collect()}
+    assert set(got) == {"en", "de"}
+    assert got["en"].n_docs == 1 and got["en"].total_tokens == 6
+    assert got["de"].n_docs == 2 and got["de"].total_tokens == 11
+    assert got["de"].total_chars == len(rows[1][0]) + len(rows[2][0])
+
+
 def test_token_topk_deterministic_tiebreak(spark):
     df = spark.createDataFrame(
         [(1, "b b a a c")], ["doc_id", "text"]

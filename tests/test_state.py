@@ -225,3 +225,26 @@ def test_byte_cap_flush_counts(spark, src, tmp_path):
     assert all(r.n_bytes <= cap for r in rows)
     total_flushed = sum(r.n_events for r in rows)
     assert 0 < total_flushed <= len(pdf)
+
+
+def test_byte_cap_time_flush_drains_trailing_buffer(spark, tmp_path):
+    """The event-time version of the reference's batch_max_time timer
+    (sinkNode.go:242-254): once the watermark passes a prefix's last
+    event + time cap, its trailing sub-cap buffer flushes and the state
+    row is evicted — EVERY event ends up flushed, prefixes don't
+    accumulate open buffers forever."""
+    src_dir, base = _mk_idle_src(tmp_path)
+    stream = transcripts_stream(spark, src_dir, max_files_per_trigger=1)
+    flushes = byte_cap_flush(
+        stream,
+        batch_max_bytes=10_000_000,  # byte cap never reached
+        batch_max_time_s=300,
+        prefix_format="yyyy-MM-dd HH",  # hour prefixes: c1's hour goes idle
+        watermark="10 minutes",
+    )
+    sink, prog = _run_with_progress(spark, flushes, str(tmp_path), "tflush", "append")
+    rows = sink.rows()
+    # c1's two 09:xx turns flushed by the time cap (single flush row)
+    nine = [r for r in rows if r.prefix.endswith("09")]
+    assert len(nine) == 1 and nine[0].n_events == 2
+    assert any(p["stateOperators"][0].get("numRowsRemoved", 0) > 0 for p in prog)

@@ -44,6 +44,14 @@ CHECKS = {
     "api_paginated": ([], ["Exchange"]),  # a spool scan, nothing else
     # banded embedding near-dup: equi-join on band key only
     "dedup_embedding_cos": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # conversation assembly: ONE group agg on conv_id, per-group
+    # sort_array — no global sort over the turn table. (A Window DOES
+    # appear in the plan, but it's the sandbox fixture's turn_idx
+    # derivation — see the transcripts NOTE above — not the operator.)
+    "conv_assemble": (["Aggregate"], ["CartesianProduct", "Sort ["]),
+    # vocabulary top-k: distributed TakeOrderedAndProject, not a global sort
+    "txt_topk_tokens": (["TakeOrderedAndProject"], ["CartesianProduct"]),
+    "corpus_stats": (["HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 

@@ -236,6 +236,59 @@ def token_topk_sql(table: str = "documents", text_col: str = "text", k: int = TO
 
 
 # ---------------------------------------------------------------------------
+# corpus composition report (per-language rollup)
+# ---------------------------------------------------------------------------
+
+def corpus_stats(df, text_col: str = "text"):
+    """Per-language corpus composition: doc counts, token/char volume,
+    mean quality — the report a training-data pipeline produces before
+    sampling/filtering decisions. One narrow projection (tokenized once)
+    + one hash-groupBy on the predicted language (map-side combine; ≤ a
+    handful of groups). All integer arithmetic (mean as a floor'd
+    basis-point ratio) for cross-engine parity."""
+    tok = tokens(text_col)
+    base = df.select(
+        F.col(text_col).alias("_t"), tok.alias("_tok")
+    ).select(
+        lang_id(F.col("_t"), tok=F.col("_tok")).alias("lang"),
+        F.size("_tok").cast("bigint").alias("_ntok"),
+        F.length("_t").cast("bigint").alias("_nch"),
+        quality_columns(F.col("_t"), tok=F.col("_tok"))["quality_bp"].alias("_q"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("total_tokens"),
+            F.sum("_nch").alias("total_chars"),
+            F.floor(F.sum("_q") / F.count(F.lit(1))).cast("bigint").alias("mean_quality_bp"),
+        )
+    )
+
+
+def corpus_stats_sql(table: str = "documents", text_col: str = "text") -> str:
+    lang = lang_id_sql(text_col)
+    tok = tokens_sql(text_col)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    q = f"""least(CAST(10000 AS BIGINT),
+            2 * CAST(floor(10000.0 * len(list_filter({tok}, t -> list_contains([{sw}], t)))
+                           / greatest(len({tok}), 1)) AS BIGINT)
+            + 10 * least(CAST(len({tok}) AS BIGINT), 500))"""
+    return f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+               CAST(SUM(nch) AS BIGINT) AS total_chars,
+               CAST(floor(SUM(q) / COUNT(*)) AS BIGINT) AS mean_quality_bp
+        FROM (
+          SELECT {lang} AS lang,
+                 CAST(len({tok}) AS BIGINT) AS ntok,
+                 CAST(length({text_col}) AS BIGINT) AS nch,
+                 {q} AS q
+          FROM {table}
+        ) GROUP BY lang"""
+
+
+# ---------------------------------------------------------------------------
 # materialized array columns
 #
 # PERFORMANCE RULE for every op below: expressions referenced inside

@@ -342,11 +342,24 @@ FLUSH_STATE_SCHEMA = T.StructType(
 )
 
 
-def _flush_fn(batch_max_bytes: int):
+def _flush_fn(batch_max_bytes: int, batch_max_time_s: int):
     def fn(
         key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (prefix,) = key
+        if state.hasTimedOut:
+            # time-cap flush (sinkNode.go:242-254): the watermark passed
+            # last-event + batch_max_time with the buffer unflushed —
+            # emit the trailing buffer and drop the key (state eviction
+            # and the reference's flush timer are the same event here)
+            buf_bytes, buf_events, last_us = state.get
+            state.remove()
+            if buf_events:
+                yield pd.DataFrame(
+                    [(prefix, buf_events, buf_bytes, pd.Timestamp(int(last_us), unit="us"))],
+                    columns=["prefix", "n_events", "n_bytes", "last_ts"],
+                )
+            return
         buf_bytes, buf_events, last_us = state.get if state.exists else (0, 0, 0)
         flushed = []
         for pdf in pdf_iter:
@@ -365,6 +378,8 @@ def _flush_fn(batch_max_bytes: int):
                 buf_events += 1
                 last_us = int(t)
         state.update((buf_bytes, buf_events, last_us))
+        if buf_events:
+            _arm_idle_timeout(state, last_us, batch_max_time_s)
         if flushed:
             yield pd.DataFrame(flushed, columns=["prefix", "n_events", "n_bytes", "last_ts"])
 
@@ -374,14 +389,20 @@ def _flush_fn(batch_max_bytes: int):
 def byte_cap_flush(
     stream: DataFrame,
     batch_max_bytes: int = 1_000_000,
+    batch_max_time_s: int = 300,
     prefix_format: str = "yyyy/MM/dd",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Exact-parity port of the sink buffer byte-cap: group events by the
+    """Exact-parity port of the sink buffer caps: group events by the
     strftime prefix of ts (``sinkNode.go:63-102``), flush a 'file' row
-    whenever the buffered text bytes would exceed ``batch_max_bytes``.
-    Rows with null ts are dropped, mirroring the reference's silent drop
-    of unparseable timestamps (``sinkNode.go:86-89``)."""
+    whenever the buffered text bytes would exceed ``batch_max_bytes``
+    (``sinkNode.go:105-125``), AND flush the trailing buffer once the
+    watermark passes last-event + ``batch_max_time_s`` — the event-time
+    version of the reference's flush timer (``sinkNode.go:242-254``),
+    which doubles as state eviction: a prefix's state row lives only
+    while its buffer is open, so prefixes (dates) never accumulate
+    forever. Rows with null ts are dropped, mirroring the reference's
+    silent drop of unparseable timestamps (``sinkNode.go:86-89``)."""
     from pyspark.sql import functions as F
 
     keyed = (
@@ -390,9 +411,9 @@ def byte_cap_flush(
         .withWatermark("ts", watermark)
     )
     return keyed.groupBy("prefix").applyInPandasWithState(
-        _flush_fn(batch_max_bytes),
+        _flush_fn(batch_max_bytes, batch_max_time_s),
         outputStructType=FLUSH_OUTPUT_SCHEMA,
         stateStructType=FLUSH_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
