@@ -75,25 +75,12 @@ def run_spec(spark, spec_path: str, output: str, checkpoint: str,
     proc = subprocess.run(
         [sys.executable, spec_path], capture_output=True, text=True, check=True
     )
-    # The task graph is the LAST stdout line that parses as a JSON list —
-    # not blindly the last line: a spec (or a library it imports) may
-    # print after Vaero(...).start(), and check=True would mask nothing
-    # since the spec still exits 0.
-    graph = None
-    for line in reversed(proc.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("["):
-            try:
-                if isinstance(json.loads(line), list):
-                    graph = line
-                    break
-            except json.JSONDecodeError:
-                continue
-    if graph is None:
-        raise ValueError(
-            f"spec {spec_path!r} printed no task-graph JSON line "
-            "(expected Vaero(...)....start() to print a JSON list)"
-        )
+    from vaero_spark.plans.plan import task_graph_from_stdout
+
+    try:
+        graph = task_graph_from_stdout(proc.stdout)
+    except ValueError as e:
+        raise ValueError(f"spec {spec_path!r}: {e}") from e
     plan = plan_from_json(graph)
     return run_streaming_plan(
         spark,
@@ -136,10 +123,12 @@ def main() -> None:
 
     if args.spec:
         # a drain run must not wait out the DSL's 300 s batch_max_time
-        # trigger between micro-batches — ASAP triggers for availableNow
+        # trigger between micro-batches — ASAP triggers for availableNow;
+        # an explicit --trigger-seconds overrides the plan-derived value
+        # (the job registry's per-job interval rides this flag)
         pipe = run_spec(
             spark, args.spec, args.output, args.checkpoint,
-            trigger=None if args.available_now else "auto",
+            trigger=None if args.available_now else (args.trigger_seconds or "auto"),
         )
         if args.available_now:
             pipe.process_all()

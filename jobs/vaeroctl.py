@@ -101,17 +101,29 @@ def _reap(pid: int) -> None:
 
 def _refresh(job: dict) -> dict:
     """Reconcile recorded status with process liveness (the reference's
-    ``alive`` column): a 'running' job whose pid died is 'stopped'."""
-    if job["status"] == "running" and not _pid_alive(job.get("pid")):
+    ``alive`` column): a 'running' OR 'stopping' job whose pid died is
+    'stopped' (an interrupted `stop` must not wedge the job in
+    'stopping' forever)."""
+    if job["status"] in ("running", "stopping") and not _pid_alive(job.get("pid")):
         job["status"] = "stopped"
         job["pid"] = None
     return job
 
 
+def _get(jobs: dict, job_id) -> dict:
+    """Look up + liveness-reconcile; a missing id is a JobError, never a
+    KeyError out of _refresh."""
+    job = jobs.get(str(job_id))
+    if not job:
+        raise JobError(f"no job {job_id}")
+    return _refresh(job)
+
+
 def _capture_task_graph(spec_path: str) -> str:
     """Run the spec subprocess and decode its task graph — same stdout
-    IR channel as ``vaero add`` (cmd/util.go:178-210): the last stdout
-    line that parses as a JSON list."""
+    IR channel as ``vaero add`` (cmd/util.go:178-210)."""
+    from vaero_spark.plans.plan import task_graph_from_stdout
+
     if not os.path.exists(spec_path):
         raise JobError(f"spec file not found: {spec_path}")
     proc = subprocess.run(
@@ -119,15 +131,10 @@ def _capture_task_graph(spec_path: str) -> str:
     )
     if proc.returncode != 0:
         raise JobError(f"spec failed: {proc.stderr[-500:]}")
-    for line in reversed(proc.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("["):
-            try:
-                if isinstance(json.loads(line), list):
-                    return line
-            except json.JSONDecodeError:
-                continue
-    raise JobError(f"spec {spec_path!r} printed no task-graph JSON line")
+    try:
+        return task_graph_from_stdout(proc.stdout)
+    except ValueError as e:
+        raise JobError(f"spec {spec_path!r}: no task-graph JSON line") from e
 
 
 def add(home: str, spec_path: str, interval: float | None = None) -> dict:
@@ -156,20 +163,28 @@ def start(home: str, job_id: str) -> dict:
     Restarting a stopped job reuses its checkpoint — exactly-once
     resume is the engine's plan-compat + commit-marker contract."""
     with _locked_registry(home) as jobs:
-        job = _refresh(jobs.get(str(job_id)) or {})
-        if not job:
-            raise JobError(f"no job {job_id}")
-        if job["status"] == "running":
-            raise JobError(f"job {job_id} already running (pid {job['pid']})")
+        job = _get(jobs, job_id)
+        if job["status"] in ("running", "stopping"):
+            # 'stopping' with a live pid means an interrupted stop — a
+            # second start would run two streaming queries against ONE
+            # checkpoint (state/offset corruption) and orphan the first
+            raise JobError(
+                f"job {job_id} is {job['status']} (pid {job['pid']}); "
+                "stop it before starting again"
+            )
         os.makedirs(os.path.dirname(job["log"]), exist_ok=True)
+        argv = [
+            sys.executable, RUN_PIPELINE,
+            "--spec", job["spec"],
+            "--output", job["output"],
+            "--checkpoint", job["checkpoint"],
+        ]
+        if job.get("interval"):
+            # the per-job interval recorded at add() rides the trigger
+            argv += ["--trigger-seconds", str(job["interval"])]
         with open(job["log"], "a") as log:
             proc = subprocess.Popen(
-                [
-                    sys.executable, RUN_PIPELINE,
-                    "--spec", job["spec"],
-                    "--output", job["output"],
-                    "--checkpoint", job["checkpoint"],
-                ],
+                argv,
                 stdout=log,
                 stderr=log,
                 start_new_session=True,  # survives this CLI's exit
@@ -185,9 +200,7 @@ def stop(home: str, job_id: str, timeout: float = 60.0) -> dict:
     an epoch cut mid-write is re-delivered on resume and deduped by the
     sink's commit marker."""
     with _locked_registry(home) as jobs:
-        job = _refresh(jobs.get(str(job_id)) or {})
-        if not job:
-            raise JobError(f"no job {job_id}")
+        job = _get(jobs, job_id)
         pid = job.get("pid")
         if job["status"] == "running" and pid:
             job["status"] = "stopping"
@@ -226,9 +239,7 @@ def detail(home: str, job_id: str) -> dict:
     from the sink commit manifests — the observability the reference
     gets from `vaero detail` + its jobs row."""
     with _locked_registry(home) as jobs:
-        job = _refresh(jobs.get(str(job_id)) or {})
-    if not job:
-        raise JobError(f"no job {job_id}")
+        job = _get(jobs, job_id)
     sinks = {}
     out_root = job["output"]
     if os.path.isdir(out_root):
@@ -251,11 +262,9 @@ def delete(home: str, job_id: str, purge: bool = False) -> dict:
     deletes its sink/checkpoint dirs (default keeps them: the checkpoint
     IS the job's durable identity)."""
     with _locked_registry(home) as jobs:
-        job = _refresh(jobs.get(str(job_id)) or {})
-        if not job:
-            raise JobError(f"no job {job_id}")
-        if job["status"] == "running":
-            raise JobError(f"job {job_id} is running; stop it first")
+        job = _get(jobs, job_id)
+        if job["status"] in ("running", "stopping"):
+            raise JobError(f"job {job_id} is {job['status']}; stop it first")
         del jobs[str(job_id)]
     if purge:
         import shutil

@@ -73,12 +73,15 @@ class _OktaStub:
                 body = json.dumps(page).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
+                # like real okta: rel="self" and rel="next" arrive as
+                # SEPARATE Link header lines (self first) — a client
+                # that collapses repeated headers to the first value
+                # would never see the next link
+                self.send_header("Link", '<http://x/api/v1/logs>; rel="self"')
                 if lo + start + stub.page_size < len(stub.events):
                     nxt = start + stub.page_size
                     self.send_header(
-                        "Link",
-                        f'<http://x/api/v1/logs?after={nxt}>; rel="next", '
-                        f'<http://x/api/v1/logs>; rel="self"',
+                        "Link", f'<http://x/api/v1/logs?after={nxt}>; rel="next"'
                     )
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()

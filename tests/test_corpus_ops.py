@@ -139,8 +139,13 @@ def test_neardup_clusters_transitive_chain(spark):
         (9, "completely different words everywhere here today"),
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    got = {r.doc_id: r.cluster_id for r in DD.neardup_clusters(df, max_iters=4).collect()}
+    got = {r.doc_id: r.cluster_id for r in DD.neardup_clusters(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}  # one cluster, canonical = min id; 9 absent
+    # a cap too small to converge fails LOUDLY (never a silent
+    # partially-merged clustering that would diverge from the oracle's
+    # full transitive closure)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.neardup_clusters(df, max_iters=0)
 
 
 def test_neardup_clusters_match_planted_pairs(spark, docs_nd):

@@ -76,8 +76,10 @@ def test_job_lifecycle_add_start_stop_resume_delete(spark, tmp_path):
     assert job["status"] == "running" and job["pid"]
     listed = {j["id"]: j for j in vaeroctl.list_jobs(home)}
     assert listed[jid]["status"] == "running"
-    with pytest.raises(vaeroctl.JobError, match="already running"):
+    with pytest.raises(vaeroctl.JobError, match="is running"):
         vaeroctl.start(home, jid)
+    with pytest.raises(vaeroctl.JobError, match="no job"):
+        vaeroctl.start(home, "99")  # missing id → JobError, not KeyError
     with pytest.raises(vaeroctl.JobError, match="stop it first"):
         vaeroctl.delete(home, jid)
 

@@ -229,7 +229,7 @@ def neardup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard_pct: int = 50,
-    max_iters: int = 4,
+    max_iters: int = 20,
 ) -> DataFrame:
     """Canonicalize near-dups: connected components over the MinHash+LSH
     pair graph — the step that turns pairwise findings into a
@@ -248,9 +248,14 @@ def neardup_clusters(
     at 8 rounds; checkpointed: ~2 s). Per-round materialization is the
     standard shape for iterative graph algorithms on Spark (GraphX/
     GraphFrames iterate the same way); the jobs are executor-side, no
-    driver collect. ``max_iters`` bounds the reachable graph diameter:
-    near-dup components are shallow (planted pairs / boilerplate
-    families); raise it for deeper graphs (converges in O(diameter))."""
+    driver collect. The loop runs TO CONVERGENCE (a round that changes
+    no label ends it — the materialized rounds make the check a cheap
+    anti-join on the already-computed tables), so the result is the full
+    transitive closure exactly like the recursive-CTE oracle twin; a
+    graph deeper than ``max_iters`` raises instead of silently emitting
+    a partially-merged clustering (label propagation needs O(diameter)
+    rounds; near-dup components are shallow, so the default cap is
+    generous)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, min_jaccard_pct)
     edges = pairs.select("id_a", "id_b")
     # persist the (tiny) symmetric edge list: every propagation round
@@ -266,17 +271,31 @@ def neardup_clusters(
     labels = sym.select(F.col("id_a").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         prop = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
             .select(F.col("e.id_a").alias("node"), F.col("l.lab").alias("lab"))
         )
-        labels = (
+        new_labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
             .localCheckpoint()  # see docstring: truncates the 2^k lineage
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("p"), "node")
+            .filter(F.col("n.lab") != F.col("p.lab"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds — "
+            "the pair graph has a component deeper than max_iters; raise it"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")

@@ -87,10 +87,15 @@ def _session_tracker(gap_seconds: int):
             return
 
         for pdf in pdf_iter:
-            us = pdf["ts"].astype("int64")  # datetime64[us/ns] → int64
-            if pdf["ts"].dtype == "datetime64[ns]":
+            ts = pdf["ts"].dropna()  # NaT → -2^63 under the int64 view
+            us = ts.astype("int64")  # datetime64[us/ns] → int64
+            if ts.dtype == "datetime64[ns]":
                 us = us // 1000
             buf.extend(int(x) for x in us)
+        if not buf:  # only null-ts rows ever seen: nothing to sessionize
+            if state.exists:
+                state.remove()
+            return
         buf.sort()
         wm_us = state.getCurrentWatermarkMs() * 1000
         out, keep = [], []
@@ -167,11 +172,19 @@ DEDUP_STATE_SCHEMA = T.StructType(
 DEFAULT_IDLE_TIMEOUT_S = 24 * 3600
 
 
-def _pdf_ts_us(pdf: pd.DataFrame) -> "pd.Series":
-    us = pdf["ts"].astype("int64")
-    if pdf["ts"].dtype == "datetime64[ns]":
+def _pdf_max_us(pdf: pd.DataFrame, cur: int) -> int:
+    """max(cur, max event time in µs over NON-NULL ts rows). NaT must be
+    excluded BEFORE the int64 view: it converts to the -2^63 sentinel,
+    and an all-null-ts conversation would otherwise keep last_us=0 and
+    arm an already-expired timeout that evicts its state on the next
+    batch (re-admitting duplicates / resetting counters)."""
+    ts = pdf["ts"].dropna()
+    if ts.empty:
+        return cur
+    us = ts.astype("int64")
+    if ts.dtype == "datetime64[ns]":
         us = us // 1000
-    return us
+    return max(cur, int(us.max()))
 
 
 def _arm_idle_timeout(state: GroupState, last_us: int, idle_s: int) -> None:
@@ -199,7 +212,7 @@ def _dedup_fn(idle_timeout_seconds: int):
             out = pdf[fresh_mask]
             seen.update(int(t) for t in out["turn_idx"])
             if len(pdf):
-                last_us = max(last_us, int(_pdf_ts_us(pdf).max()))
+                last_us = _pdf_max_us(pdf, last_us)
             if len(out):
                 yield out
         state.update((sorted(seen), last_us))
@@ -281,7 +294,7 @@ def _counter_fn(idle_timeout_seconds: int):
             n_tool += int((pdf["role"] == "tool").sum())
             n_error += int(pdf["text"].str.contains("error", regex=False).sum())
             if len(pdf):
-                last_us = max(last_us, int(_pdf_ts_us(pdf).max()))
+                last_us = _pdf_max_us(pdf, last_us)
         state.update((total, n_user, n_tool, n_error, last_us))
         _arm_idle_timeout(state, last_us, idle_timeout_seconds)
         yield pd.DataFrame(

@@ -106,6 +106,28 @@ def plan_fingerprint(plan: Plan) -> str:
     return hashlib.sha256(canon.encode()).hexdigest()[:32]
 
 
+def task_graph_from_stdout(stdout: str) -> str:
+    """Extract the task-graph line from a spec subprocess's stdout (the
+    IR channel, ``vaero/stream.py:127-132`` / ``cmd/util.go:192-210``):
+    the LAST line that parses as a JSON list — never blindly the last
+    line, since a spec (or a library it imports) may print after
+    ``Vaero(...)....start()``. Raises ValueError when no such line
+    exists. Shared by every entry point that runs a spec
+    (``jobs/run_pipeline.py``, ``jobs/vaeroctl.py``)."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("["):
+            try:
+                if isinstance(json.loads(line), list):
+                    return line
+            except json.JSONDecodeError:
+                continue
+    raise ValueError(
+        "spec printed no task-graph JSON line "
+        "(expected Vaero(...)....start() to print a JSON list)"
+    )
+
+
 def plan_from_json(text: str) -> Plan:
     """Decode the JSON array form back into an OpNode tree (the analog of
     the reference's ``genTaskGraph``, ``cmd/util.go:508-538``)."""

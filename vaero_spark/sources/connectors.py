@@ -63,7 +63,17 @@ def http_get_json(
     req = urllib.request.Request(f"{url}?{q}" if q else url, headers=headers)
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return json.loads(resp.read().decode()), dict(resp.headers)
+            # dict(Message) keeps only the FIRST value of a repeated
+            # header — okta sends rel="self" and rel="next" as SEPARATE
+            # Link header lines, so that would silently lose the next
+            # link and cap every poll at one page. RFC 7230 lets
+            # repeated headers be joined with commas, which is exactly
+            # the form _link_next_after parses.
+            merged = {
+                k: ", ".join(resp.headers.get_all(k))
+                for k in set(resp.headers.keys())
+            }
+            return json.loads(resp.read().decode()), merged
     except urllib.error.HTTPError as e:
         if e.code == 429 or 500 <= e.code < 600:
             raise TransientApiError(f"HTTP {e.code} from {url}") from e
