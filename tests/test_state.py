@@ -210,6 +210,20 @@ def test_stateful_dedup_evicts_idle_state_and_still_dedups(spark, tmp_path):
     assert any(p["stateOperators"][0].get("numRowsRemoved", 0) > 0 for p in prog)
 
 
+def test_pdf_max_us_ignores_nat():
+    """NaT becomes the -2^63 sentinel under an int64 view; the last-event
+    tracker must skip null ts or an all-null conversation arms an
+    already-expired timeout and is evicted on the next batch."""
+    from vaero_spark.operators.state import _pdf_max_us
+
+    ts = pd.Series([pd.NaT, pd.Timestamp("2024-03-01 09:00:00")]).astype("datetime64[us]")
+    want = int(pd.Timestamp("2024-03-01 09:00:00").value // 1000)
+    assert _pdf_max_us(pd.DataFrame({"ts": ts}), 0) == want
+    assert _pdf_max_us(pd.DataFrame({"ts": ts}), want + 5) == want + 5  # monotone
+    all_nat = pd.Series([pd.NaT, pd.NaT]).astype("datetime64[us]")
+    assert _pdf_max_us(pd.DataFrame({"ts": all_nat}), 7) == 7  # unchanged
+
+
 def test_byte_cap_flush_counts(spark, src, tmp_path):
     """batch_max_bytes parity (sinkNode.go:105-125): flush rows appear
     whenever a prefix buffer would exceed the cap; each flushed buffer
