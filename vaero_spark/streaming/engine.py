@@ -338,18 +338,39 @@ def run_streaming_fanout(
     applied ONCE per epoch and its *output* is persisted, so N branches
     never recompute the expensive chain — with regex-heavy transforms
     this halves (or better) per-epoch CPU vs putting the prefix inside
-    each branch."""
+    each branch.
+
+    Branch writes run CONCURRENTLY (one thread per sink submitting its
+    Spark job): the branches are independent jobs over the same
+    persisted batch, and serial submission left the cluster idle during
+    each write's scheduling/commit tail — the reference gets the same
+    overlap from its per-sink flush goroutines (``sinkNode.go:133-173``).
+    Exactly-once is unaffected: each sink's epoch commit is independent
+    and idempotent, and a failed branch fails the whole batch (so the
+    epoch is redelivered and the already-committed sinks dedup it)."""
     sinks = {name: sink_factory(name) for name in branch_fns}
 
     def fan_out(batch_df: DataFrame, epoch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         shared = common_fn(batch_df) if common_fn else batch_df
+        # concurrent branches do NOT double-compute the persisted batch:
+        # the block manager's per-partition cache locks make the second
+        # job's tasks wait for in-flight computation instead of redoing it
         shared.persist()
+
+        def run_branch(item):
+            name, fn = item
+            out = fn(shared)
+            if hasattr(sinks[name], "write"):
+                sinks[name].write(out, epoch_id)
+            else:
+                sinks[name].foreach_batch()(out, epoch_id)
+
         try:
-            for name, fn in branch_fns.items():
-                out = fn(shared)
-                sinks[name].write(out, epoch_id) if hasattr(sinks[name], "write") else sinks[
-                    name
-                ].foreach_batch()(out, epoch_id)
+            with ThreadPoolExecutor(max_workers=len(branch_fns)) as pool:
+                # list() re-raises the first branch exception
+                list(pool.map(run_branch, branch_fns.items()))
         finally:
             shared.unpersist()
 
