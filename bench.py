@@ -505,6 +505,23 @@ def main() -> None:
 
     t0 = time.perf_counter()
     timings = run_query_bench(sf_dir, cpus)
+    # Insurance line BEFORE the (long, possibly killed-by-timeout)
+    # scaling phase: if the process dies mid-scaling, the harness's
+    # tail-capture still finds a parseable suite-only JSON line — the
+    # full line printed at the end supersedes it as the LAST line.
+    print(
+        json.dumps(
+            {
+                "metric": "query suite wall sec (interim; scaling phase follows)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "sf": sf,
+                "cores": cpus,
+            }
+        ),
+        flush=True,
+    )
     # release the query-bench JVM (32 executor threads + cached blocks)
     # before the scaling subprocesses — an idle parent SparkSession was
     # measured to degrade the children's throughput ~3x

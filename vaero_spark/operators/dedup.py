@@ -233,10 +233,12 @@ def neardup_clusters(
 ) -> DataFrame:
     """Canonicalize near-dups: connected components over the MinHash+LSH
     pair graph — the step that turns pairwise findings into a
-    keep-one-per-cluster dedup decision. Output: (doc_id, cluster_id)
-    for every doc that participates in ≥1 near-dup pair, cluster_id =
-    the minimum doc_id reachable (so ``doc_id == cluster_id`` marks the
-    canonical keeper).
+    keep-one-per-cluster dedup decision (the standard shape in
+    MapReduce/Spark CC literature: min-label propagation à la
+    "hash-to-min", Rastogi et al., ICDE'13). Output: (doc_id,
+    cluster_id) for every doc that participates in ≥1 near-dup pair,
+    cluster_id = the minimum doc_id reachable (so ``doc_id ==
+    cluster_id`` marks the canonical keeper).
 
     Distributed shape: iterative min-label propagation — each round is
     one equi-join (edge → neighbor label) + one groupBy-min, then a
