@@ -248,10 +248,21 @@ def run_throughput(cores: int, input_dir: str, n_rows: int) -> dict:
     }
 
 
+def _cpu_probe() -> float:
+    """~1 s single-process hash burn, returns Mhashes/sec. Stamped onto
+    every scaling trial so the artifact shows per-trial host state: a
+    trial taken during a churn window carries a visibly depressed probe
+    next to it (auditability only — trials are never dropped by it)."""
+    t0 = time.perf_counter()
+    _cpu_burn(400_000)
+    return round(0.4 / (time.perf_counter() - t0), 2)
+
+
 def _one_throughput_run(cores: int, input_dir: str, n_rows: int) -> dict:
     # flush dirty pages from the previous run's sink writes so its
     # writeback doesn't steal bandwidth from this run's timed window
     subprocess.run("sync", shell=True)
+    probe = _cpu_probe()
     proc = subprocess.run(
         [sys.executable, __file__, "--throughput", "--cores", str(cores),
          "--input", input_dir, "--rows", str(n_rows)],
@@ -259,9 +270,9 @@ def _one_throughput_run(cores: int, input_dir: str, n_rows: int) -> dict:
     )
     line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
     try:
-        return json.loads(line)
+        return {**json.loads(line), "cpu_probe_mhps": probe}
     except (json.JSONDecodeError, IndexError):
-        return {"error": proc.stderr[-2000:]}
+        return {"error": proc.stderr[-2000:], "cpu_probe_mhps": probe}
 
 
 STABLE_SPREAD = 1.15  # last-3 trials within 15% = steady state
@@ -326,35 +337,76 @@ def run_scaling(sf_dir: str) -> dict:
     median is hostage to whichever window it lands in. Convergence
     gating waits the window out, same rule at both levels, with
     per-level caps (``SPARK_GRAFT_BENCH_MAX_TRIALS_N``/``_4N``,
-    defaults 5/10 — the 4N trials are ~3× shorter and the
-    churn-exposed ones, so the deep budget goes there; at the cap it
-    falls back to the median of ALL trials, with the spread and a
-    converged=false flag visible in the artifact).
+    defaults 8/10) and — new in round 4 after the round-3 driver
+    artifact's N level hit its cap unconverged and anchored a 1.21
+    ratio — RE-ENTRY: any level still unconverged after both groups is
+    re-run as a fresh grouped pass (≤ ``SPARK_GRAFT_BENCH_REENTRIES``
+    passes, default 2, after a 60 s settle gap), all bounded by
+    ``SPARK_GRAFT_BENCH_BUDGET_SEC`` (default 3000 s) of scaling wall
+    time. At the final cap it falls back to the median of ALL trials
+    with converged=false visible in the artifact; every trial carries
+    a ~1 s single-process CPU probe (``cpu_probe_mhps``) so churn
+    windows are identifiable per-trial.
     Grouping matters too: the first run after a different workload dips
     10-30% before stabilizing, so alternating levels made every 4N
     trial a first-after-transition run. All trials are reported."""
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
-    # Per-level caps: the N level is historically tight (≤10% spread,
-    # converges in 3-4) while the 4N level rides the host's churn
-    # windows — its trials are also ~3× shorter, so giving IT the deep
-    # budget costs little wall time and buys outlasting a 10-20 min
-    # churn window (one observed window defeated a cap of 7).
+    # Per-level caps: round 3's driver artifact showed the N level is
+    # NOT immune to churn windows — it hit its 5-trial cap unconverged
+    # (trials spanning 21.5k-74.0k turns/s) and anchored a nonsense
+    # ratio — so N's cap is raised to 8 and, crucially, any level that
+    # ends a group unconverged is RE-ENTERED after the other group
+    # finishes (a fresh grouped pass minutes later, appended to the
+    # same trial list; convergence is judged on the newest consecutive
+    # window). Up to SPARK_GRAFT_BENCH_REENTRIES re-entry passes per
+    # level, all bounded by a scaling-phase wall-clock budget so the
+    # driver's subprocess timeout is never at risk.
     max_trials = {
-        SCALING_CORES[0]: int(os.environ.get("SPARK_GRAFT_BENCH_MAX_TRIALS_N", "5")),
+        SCALING_CORES[0]: int(os.environ.get("SPARK_GRAFT_BENCH_MAX_TRIALS_N", "8")),
         SCALING_CORES[1]: int(os.environ.get("SPARK_GRAFT_BENCH_MAX_TRIALS_4N", "10")),
     }
+    reentries = int(os.environ.get("SPARK_GRAFT_BENCH_REENTRIES", "2"))
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000"))
     input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
     runs: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
+    t_start = time.perf_counter()
 
     def _stable(xs: list[float]) -> bool:
         return len(xs) >= trials and max(xs) / min(xs) <= STABLE_SPREAD
 
-    for cores in SCALING_CORES:
+    def _vals(cores: int) -> list[float]:
+        return [r["turns_per_sec"] for r in runs[cores] if r.get("turns_per_sec")]
+
+    def _run_group(cores: int, cap: int) -> None:
+        """One grouped pass at `cores`: trial until the last `trials`
+        consecutive agree, the group adds `cap` trials, or the phase
+        budget runs out (never mid-minimum: the first `trials` trials
+        of a group always run so a re-entry can't end with an
+        un-judgeable window)."""
+        added = 0
         while True:
             runs[cores].append(_one_throughput_run(cores, input_dir, n_rows))
-            ok = [r["turns_per_sec"] for r in runs[cores] if r.get("turns_per_sec")]
-            if _stable(ok[-trials:]) or len(runs[cores]) >= max_trials[cores]:
-                break
+            added += 1
+            if _stable(_vals(cores)[-trials:]) or added >= cap:
+                return
+            if added >= trials and time.perf_counter() - t_start > budget_sec:
+                return
+
+    for cores in SCALING_CORES:
+        _run_group(cores, max_trials[cores])
+    # Re-entry: a level that ended unconverged gets fresh grouped passes
+    # — the point is to outlast a multi-minute churn window, and the
+    # other group + controls put minutes between passes for free.
+    for _ in range(reentries):
+        pending = [c for c in SCALING_CORES if not _stable(_vals(c)[-trials:])]
+        if not pending or time.perf_counter() - t_start > budget_sec:
+            break
+        # settle gap: when re-entering back-to-back (e.g. only N is
+        # pending), give an observed churn window time to pass instead
+        # of immediately sampling the same weather
+        time.sleep(60)
+        for cores in pending:
+            _run_group(cores, max(trials, max_trials[cores] // 2))
 
     def level(cores: int) -> dict:
         ok = [r for r in runs[cores] if r.get("turns_per_sec")]
@@ -370,6 +422,7 @@ def run_scaling(sf_dir: str) -> dict:
             **rep,
             "turns_per_sec": med,  # headline = median of the stable window
             "all_trials_turns_per_sec": vals,
+            "cpu_probes_mhps": [r.get("cpu_probe_mhps") for r in runs[cores]],
             "stable_window": window,
             "converged": _stable(vals[-trials:]),
         }
@@ -384,7 +437,9 @@ def run_scaling(sf_dir: str) -> dict:
         "trials_run": {f"local[{c}]": len(runs[c]) for c in SCALING_CORES},
         "estimator": f"median of last {trials} consecutive trials within "
                      f"{STABLE_SPREAD}x (steady-state window), caps "
-                     f"{[max_trials[c] for c in SCALING_CORES]}",
+                     f"{[max_trials[c] for c in SCALING_CORES]}, "
+                     f"unconverged levels re-entered (<= {reentries} passes, "
+                     f"{budget_sec:.0f}s budget)",
         f"local[{lo}]": b_lo,
         f"local[{hi}]": b_hi,
         "scaling_efficiency": round(eff, 3) if eff is not None else None,

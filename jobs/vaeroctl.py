@@ -194,7 +194,8 @@ def start(home: str, job_id: str) -> dict:
         return dict(job)
 
 
-def stop(home: str, job_id: str, timeout: float = 60.0) -> dict:
+def stop(home: str, job_id: str, timeout: float = 60.0,
+         kill_timeout: float = 5.0) -> dict:
     """staged→stopped / running→stopping→stopped: SIGTERM the subprocess,
     escalate to SIGKILL after ``timeout``. Committed epochs stay durable;
     an epoch cut mid-write is re-delivered on resume and deduped by the
@@ -219,10 +220,26 @@ def stop(home: str, job_id: str, timeout: float = 60.0) -> dict:
                 os.killpg(os.getpgid(pid), signal.SIGKILL)
             except (ProcessLookupError, PermissionError):
                 pass
-            while _pid_alive(pid):
+            # Bounded post-SIGKILL wait: a process stuck in uninterruptible
+            # D-state survives SIGKILL until its syscall returns — an
+            # unbounded loop here would hang the CLI forever. On expiry,
+            # leave the job 'stopping' (pid intact) so the next
+            # stop/_refresh reconciles once the process finally dies.
+            kill_deadline = time.time() + kill_timeout
+            while _pid_alive(pid) and time.time() < kill_deadline:
                 _reap(pid)
                 time.sleep(0.1)
         _reap(pid)
+        if _pid_alive(pid):
+            with _locked_registry(home) as jobs:
+                job = jobs[str(job_id)]
+                job["status"] = "stopping"
+                out = dict(job)
+            out["warning"] = (
+                f"pid {pid} survived SIGKILL (uninterruptible state?); "
+                "left status=stopping — rerun stop once it exits"
+            )
+            return out
     with _locked_registry(home) as jobs:
         job = jobs[str(job_id)]
         job.update(status="stopped", pid=None)

@@ -105,6 +105,24 @@ def test_link_header_parsing():
     assert _link_next_after({}) is None
 
 
+def test_link_header_comma_inside_url():
+    """Commas are legal inside the bracketed URL (okta `after` tokens
+    are opaque); a naive split on ',' truncated the next-link mid-URL
+    and silently capped each poll at one page."""
+    tok = "1714091,009_abc,def"
+    h = {"Link": (
+        f'<http://x/logs?q=a,b&after={urllib.parse.quote(tok)}>; rel="next", '
+        '<http://x/logs?q=c,d>; rel="self"'
+    )}
+    assert _link_next_after(h) == tok
+    # self entry first, its URL also carrying commas
+    h2 = {"Link": (
+        '<http://x/logs?ids=1,2,3>; rel="self", '
+        '<http://x/logs?ids=1,2,3&after=z,z>; rel="next"'
+    )}
+    assert _link_next_after(h2) == "z,z"
+
+
 def test_okta_preset_full_chain(tmp_path):
     """Secrets → SSWS header → pagination via Link header → 429 backoff
     retry → late gate → spool, with the rate limiter pacing requests."""

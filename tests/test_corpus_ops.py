@@ -380,3 +380,35 @@ def test_frame_sampling_counts(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG...")
+
+
+def test_neardup_clusters_no_driver_probe_actions(spark):
+    """Convergence detection must ride the propagation job itself
+    (observe + localCheckpoint), not a separate isEmpty/count/collect
+    probe job per round — at 10^9 docs the probe was a full extra
+    join-scan per iteration."""
+    _DF = type(spark.range(1))
+    called = []
+    names = ["isEmpty", "count", "collect", "first", "take", "toPandas"]
+    saved = {m: getattr(_DF, m) for m in names}
+
+    def banned(m):
+        def _f(self, *a, **k):
+            called.append(m)
+            return saved[m](self, *a, **k)
+        return _f
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " one"), (3, base + " one two")],
+        ["doc_id", "text"],
+    )
+    for m in names:
+        setattr(_DF, m, banned(m))
+    try:
+        labels = DD.neardup_clusters(df)
+    finally:
+        for m in names:
+            setattr(_DF, m, saved[m])
+    assert called == []  # multi-round convergence ran zero probe actions
+    assert {r.doc_id: r.cluster_id for r in labels.collect()} == {1: 1, 2: 1, 3: 1}

@@ -242,3 +242,61 @@ def test_paginated_source_via_dsl_engine(spark, tmp_path):
     got = sorted(r.event_id for r in sink.rows())
     assert got == list(range(50))
     assert plan.root.args["_server"]._stop_evt.is_set()
+
+
+def test_polling_loop_survives_transient_and_halts_on_permanent(tmp_path):
+    """The daemon poll loop must not die silently: transient exhaustion
+    (>max_tries 429s) is retried next interval with the failure counter
+    visible; a permanent error (bad credentials) halts polling AND
+    surfaces from check_health()/stream() instead of leaving the spool
+    stream looking healthy while nothing feeds it."""
+    import time as _time
+
+    mode = {"m": "transient"}
+    rows = _mk_rows(3)
+    pages = pages_from_rows(rows, 10)
+
+    def fetch_page(since_s, tok):
+        if mode["m"] == "transient":
+            raise TransientApiError("429 forever")
+        if mode["m"] == "permanent":
+            raise PermanentApiError("401 bad token")
+        return pages(since_s, tok)
+
+    src = PaginatedApiSource(
+        fetch_page=fetch_page,
+        spool_dir=str(tmp_path / "spool"),
+        cursor_path=str(tmp_path / "cursor.json"),
+        max_tries=2,
+        backoff_factor=0.0,
+        _sleep=lambda s: None,
+    )
+    src.start_polling(0.01)
+    try:
+        deadline = _time.time() + 10
+        while src.consecutive_failures < 2 and _time.time() < deadline:
+            _time.sleep(0.01)
+        # transient exhaustion did NOT kill the loop; failures are counted
+        assert src.consecutive_failures >= 2
+        assert src._thread.is_alive()
+        assert src.poll_error is None
+        src.check_health()  # transient trouble is not fatal
+
+        mode["m"] = "ok"
+        while len(_spooled_ids(tmp_path / "spool")) < 3 and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert _spooled_ids(tmp_path / "spool") == [0, 1, 2]  # recovered
+        while src.consecutive_failures and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert src.consecutive_failures == 0  # reset on success
+
+        mode["m"] = "permanent"
+        while src.poll_error is None and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert isinstance(src.poll_error, PermanentApiError)
+        src._thread.join(timeout=5)
+        assert not src._thread.is_alive()  # loop halted deliberately
+        with pytest.raises(RuntimeError, match="polling halted"):
+            src.check_health()
+    finally:
+        src.stop()

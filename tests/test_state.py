@@ -224,6 +224,30 @@ def test_pdf_max_us_ignores_nat():
     assert _pdf_max_us(pd.DataFrame({"ts": all_nat}), 7) == 7  # unchanged
 
 
+def test_arm_idle_timeout_skips_all_null_ts_key():
+    """A key whose rows ALL carry null ts keeps last_us=0; arming it
+    would degenerate to watermark+1 — an immediately-expiring timeout
+    that evicts the seen-set on the next batch, re-admitting duplicates.
+    Such a key must retain NoTimeout behavior until a real ts arrives."""
+    from vaero_spark.operators.state import _arm_idle_timeout
+
+    class _FakeState:
+        def __init__(self):
+            self.armed = None
+
+        def setTimeoutTimestamp(self, v):
+            self.armed = v
+
+        def getCurrentWatermarkMs(self):
+            return 1_700_000_000_000
+
+    st = _FakeState()
+    _arm_idle_timeout(st, 0, 3600)
+    assert st.armed is None  # never armed: NoTimeout retained
+    _arm_idle_timeout(st, 1_700_000_100_000_000, 3600)
+    assert st.armed == 1_700_000_100_000 + 3600 * 1000  # real ts arms
+
+
 def test_byte_cap_flush_counts(spark, src, tmp_path):
     """batch_max_bytes parity (sinkNode.go:105-125): flush rows appear
     whenever a prefix buffer would exceed the cap; each flushed buffer

@@ -140,3 +140,43 @@ def test_add_rejects_bad_spec(tmp_path):
         vaeroctl.add(home, str(bad))
     with pytest.raises(vaeroctl.JobError, match="not found"):
         vaeroctl.add(home, str(tmp_path / "missing.py"))
+
+
+def test_stop_bounds_post_sigkill_wait_on_unkillable_pid(tmp_path, monkeypatch):
+    """A pipeline stuck in uninterruptible D-state survives SIGKILL until
+    its syscall returns; stop() must not hang the CLI forever — it bounds
+    the wait, reports the pid as unkillable, and leaves the job in
+    'stopping' so the next stop/_refresh reconciles once the process
+    finally dies."""
+    import subprocess
+    import sys as _sys
+
+    home = str(tmp_path / "home")
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(600)"],
+        start_new_session=True,
+    )
+    try:
+        with vaeroctl._locked_registry(home) as jobs:
+            jobs["1"] = {
+                "id": "1", "spec": "x.py", "task_graph": "[]", "interval": None,
+                "status": "running", "pid": proc.pid, "output": str(tmp_path / "o"),
+                "checkpoint": str(tmp_path / "c"), "log": str(tmp_path / "l"),
+                "added_at": time.time(),
+            }
+        # simulate unkillable: liveness always true during this stop call
+        monkeypatch.setattr(vaeroctl, "_pid_alive", lambda pid: True)
+        t0 = time.time()
+        out = vaeroctl.stop(home, "1", timeout=0.3, kill_timeout=0.5)
+        assert time.time() - t0 < 10  # bounded, no infinite loop
+        assert out["status"] == "stopping"
+        assert "unkillable" in out.get("warning", "") or "survived SIGKILL" in out.get("warning", "")
+        monkeypatch.undo()
+        # once the process actually dies, _refresh reconciles to stopped
+        proc.kill()
+        proc.wait()
+        assert vaeroctl.list_jobs(home)[0]["status"] == "stopped"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()

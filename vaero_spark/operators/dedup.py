@@ -25,7 +25,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from vaero_spark.functions.text import (
@@ -251,8 +251,9 @@ def neardup_clusters(
     standard shape for iterative graph algorithms on Spark (GraphX/
     GraphFrames iterate the same way); the jobs are executor-side, no
     driver collect. The loop runs TO CONVERGENCE (a round that changes
-    no label ends it — the materialized rounds make the check a cheap
-    anti-join on the already-computed tables), so the result is the full
+    no label ends it — the changed-label count rides the round's own
+    materialization job via ``observe`` + a join against the previous
+    labels, ONE job per round, no separate probe), so the result is the full
     transitive closure exactly like the recursive-CTE oracle twin; a
     graph deeper than ``max_iters`` raises instead of silently emitting
     a partially-merged clustering (label propagation needs O(diameter)
@@ -279,20 +280,29 @@ def neardup_clusters(
             .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
             .select(F.col("e.id_a").alias("node"), F.col("l.lab").alias("lab"))
         )
+        # Convergence rides the SAME job as the propagation: the new
+        # min-label table joins the previous labels (node sets are
+        # identical round-over-round), an ``observe`` sums the changed
+        # flags while ``localCheckpoint`` materializes the round, and
+        # the loop reads the metric — no separate isEmpty/count probe
+        # job per round (was one extra join-scan per iteration).
+        obs = Observation(f"cc_round_{it}")
         new_labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
+            .join(labels.select("node", F.col("lab").alias("prev_lab")), "node")
+            .observe(
+                obs,
+                F.sum((F.col("lab") != F.col("prev_lab")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .select("node", "lab")
             .localCheckpoint()  # see docstring: truncates the 2^k lineage
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("p"), "node")
-            .filter(F.col("n.lab") != F.col("p.lab"))
-            .isEmpty()
-        )
         labels = new_labels
-        if converged:
+        if not obs.get["changed"]:
             break
     else:
         raise RuntimeError(

@@ -189,7 +189,15 @@ def _pdf_max_us(pdf: pd.DataFrame, cur: int) -> int:
 
 def _arm_idle_timeout(state: GroupState, last_us: int, idle_s: int) -> None:
     """Evict the key once the watermark passes last-event + idle (ceil
-    to ms; must stay strictly above the current watermark)."""
+    to ms; must stay strictly above the current watermark).
+
+    A key that has never seen a non-null event time (``last_us == 0``)
+    is NOT armed: max(1970+idle, wm+1) degenerates to wm+1 — an
+    immediately-expiring timeout that would evict the seen-set /
+    counters on the very next batch, re-admitting duplicates. Such a
+    key keeps NoTimeout behavior until a real timestamp arrives."""
+    if last_us == 0:
+        return
     state.setTimeoutTimestamp(
         max(
             -(-(last_us + idle_s * 1_000_000) // 1000),

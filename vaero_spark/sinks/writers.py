@@ -378,6 +378,24 @@ def default_sink_factory(base_dir: str) -> Callable[[str, object], object]:
                 filename_format=args.get("filename_format", "%s.log"),
                 batch_max_bytes=args.get("batch_max_bytes"),
             )
+        if op == "s3_lines":
+            # line-oriented object-store PUT (sink_s3.go:30-63 shape)
+            # behind the ListingObjectStore interface; heavy columnar
+            # egress should keep using the parquet sink above
+            from vaero_spark.functions.timefmt import strftime_to_java as s2j
+            from vaero_spark.sources.object_store import (
+                LocalDirObjectStore,
+                ObjectLineSink,
+            )
+
+            store = args.get("store") or LocalDirObjectStore(
+                args.get("bucket_dir") or os.path.join(base_dir, name)
+            )
+            return ObjectLineSink(
+                store=store,
+                prefix_format=s2j(args.get("filename_prefix", "%Y/%m/%d")),
+                ts_col=args.get("timestamp_key", "ts"),
+            )
         if op in ("datadog", "elastic", "splunk", "http"):
             return HttpStubSink(op)
         if op == "memory":

@@ -41,6 +41,7 @@ refresh (``secrets.py``) hot-swaps credentials mid-stream.
 from __future__ import annotations
 
 import json
+import re
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -85,15 +86,23 @@ def http_get_json(
 def _link_next_after(headers: dict) -> str | None:
     """Extract the ``after`` query param from the RFC-5988 ``Link``
     header's ``rel="next"`` entry (the okta pagination token,
-    ``source_okta.py:50-62``)."""
+    ``source_okta.py:50-62``).
+
+    Entries are matched as ``<url> ; params`` via regex rather than a
+    naive split on ',': commas are legal inside the bracketed URL's
+    query string (okta ``after`` tokens are opaque), and splitting
+    there truncated the URL mid-token — losing ``after`` and silently
+    capping every poll at one page."""
     link = headers.get("Link") or headers.get("link")
     if not link:
         return None
-    for part in link.split(","):
-        seg = part.split(";")
-        if len(seg) < 2 or 'rel="next"' not in "".join(seg[1:]):
+    # <href> followed by its params up to the next entry's '<' — the
+    # params region cannot contain '<', so this never splits inside a
+    # bracketed URL no matter what characters the URL holds.
+    for m in re.finditer(r"<([^>]*)>\s*([^<]*)", link):
+        href, attrs = m.group(1), m.group(2)
+        if 'rel="next"' not in attrs:
             continue
-        href = seg[0].strip().strip("<>")
         qs = urllib.parse.parse_qs(urllib.parse.urlparse(href).query)
         after = qs.get("after")
         if after:

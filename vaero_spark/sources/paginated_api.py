@@ -134,6 +134,12 @@ class PaginatedApiSource:
     backoff_factor: float = 0.1
     secret_resolver: object = None  # refreshed per poll (execute.go:84-96)
     _sleep: Callable = time.sleep
+    # polling-loop health (set by the daemon loop, read by check_health):
+    # a PermanentApiError halts polling and is re-raised to the caller;
+    # transient exhaustion is logged and retried next interval
+    poll_error: BaseException | None = None
+    last_transient_error: BaseException | None = None
+    consecutive_failures: int = 0
 
     def _parse(self, s: str) -> datetime:
         return datetime.strptime(s, ISO) if "." in s else datetime.strptime(s, ISO[:-3])
@@ -248,10 +254,24 @@ class PaginatedApiSource:
                 return total
         return total
 
+    def check_health(self) -> None:
+        """Fail fast if the polling loop died on a permanent error.
+
+        Without this, a dead poller is invisible: the streaming query
+        over the spool stays 'healthy' and simply sees no new files
+        forever. Call sites: ``stream()`` (setup) and any monitoring
+        loop (per-epoch)."""
+        if self.poll_error is not None:
+            raise RuntimeError(
+                "API polling halted on a permanent error; the spool is no "
+                "longer being fed"
+            ) from self.poll_error
+
     def stream(self, spark, payload_schema: str):
         """The pipeline-facing exactly-once stream over the spool."""
         from pyspark.sql import types as T
 
+        self.check_health()
         return (
             spark.readStream.schema(T.StructType.fromDDL(payload_schema))
             .option("maxFilesPerTrigger", "16")
@@ -261,15 +281,39 @@ class PaginatedApiSource:
     def start_polling(self, interval: float) -> "PaginatedApiSource":
         """Poll every ``interval`` seconds in a daemon thread (the
         reference's pull loop sleeps ``interval − elapsed``,
-        ``execute/execute.go:99-110``)."""
+        ``execute/execute.go:99-110``).
+
+        The loop body is guarded: transient exhaustion (>max_tries 429s,
+        a connection reset, a secret-refresh hiccup) is recorded and
+        retried at the next interval — the cursor was not advanced, so
+        nothing is lost — while a PermanentApiError (non-429 4xx: bad
+        credentials, revoked scope) stops the loop and is surfaced by
+        :meth:`check_health` / :meth:`stream` instead of killing the
+        daemon thread silently."""
+        import logging
         import threading
 
         self._stop_evt = threading.Event()
+        log = logging.getLogger(__name__)
 
         def loop() -> None:
             while not self._stop_evt.is_set():
                 started = time.time()
-                self.poll()
+                try:
+                    self.poll()
+                    self.consecutive_failures = 0
+                    self.last_transient_error = None
+                except PermanentApiError as exc:
+                    self.poll_error = exc
+                    log.error("polling halted (permanent API error): %s", exc)
+                    return
+                except Exception as exc:  # transient exhaustion, IO, secrets
+                    self.consecutive_failures += 1
+                    self.last_transient_error = exc
+                    log.warning(
+                        "poll failed (%d consecutive), retrying next "
+                        "interval: %s", self.consecutive_failures, exc,
+                    )
                 remaining = interval - (time.time() - started)
                 if remaining > 0:
                     self._stop_evt.wait(remaining)

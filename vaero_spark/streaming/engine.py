@@ -107,6 +107,30 @@ def _resolve_stream_source(spark: SparkSession, node: OpNode) -> DataFrame:
         src.start_polling(float(node.args.get("interval", 10.0)))
         node.args["_server"] = src
         return src.stream(spark, node.args["schema"])
+    if node.op in ("s3", "object_store"):
+        # pull source (ref source_s3.go:25-85: list prefix → GET → split
+        # on newline): a driver-side poller over a ListingObjectStore
+        # client, spooling object versions into an exactly-once file
+        # stream. The sandbox store is LocalDirObjectStore; a real S3
+        # deployment swaps the client (args["store"]) — the listing /
+        # change-detection / spool logic is identical.
+        from vaero_spark.sources.object_store import (
+            LocalDirObjectStore,
+            ObjectLineSource,
+        )
+
+        store = node.args.get("store")
+        if store is None:
+            store = LocalDirObjectStore(node.args["bucket_dir"])
+        src = ObjectLineSource(
+            store=store,
+            prefix=node.args.get("prefix", ""),
+            spool_dir=node.args["spool_dir"],
+            seen_path=node.args["seen_path"],
+        )
+        src.start_polling(float(node.args.get("interval", 10.0)))
+        node.args["_server"] = src
+        return src.stream(spark, node.args["schema"])
     raise ValueError(f"unknown stream source {node.op!r}")
 
 
