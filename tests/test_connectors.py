@@ -307,3 +307,100 @@ def test_okta_preset_via_dsl_engine(spark, tmp_path):
         assert all(r["auth"] == "SSWS tok-live" for r in stub.requests)
     finally:
         stub.stop()
+
+
+class _MultiAppWorkspaceStub:
+    """Workspace stub serving DIFFERENT events per application path
+    segment, to prove cursor isolation across the round-robin."""
+
+    def __init__(self, events_by_app: dict, page_size: int = 5):
+        self.by_app = {a: sorted(ev, key=lambda e: e["ts"]) for a, ev in events_by_app.items()}
+        self.page_size = page_size
+        self.requests: list[dict] = []
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self) -> None:  # noqa: N802
+                parsed = urllib.parse.urlparse(self.path)
+                qs = {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
+                app = parsed.path.rsplit("/", 1)[-1]
+                stub.requests.append({"app": app, "qs": qs})
+                events = stub.by_app.get(app, [])
+                lo = 0
+                if qs.get("startTime"):
+                    lo = sum(1 for e in events if e["ts"] < qs["startTime"])
+                start = int(qs.get("pageToken", "0"))
+                page = events[lo + start : lo + start + stub.page_size]
+                out = {"items": page}
+                if lo + start + stub.page_size < len(events):
+                    out["nextPageToken"] = str(start + stub.page_size)
+                body = json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a) -> None:
+                pass
+
+        self.httpd = HTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+
+
+def test_google_workspace_multi_app_round_robin(tmp_path):
+    """Reference per-poll app rotation (source_google_workspace.py:78-81,
+    196-207): one source cycles the apps list, each app keeps an
+    ISOLATED cursor, all apps spool into one shared directory with
+    distinct filenames."""
+    from vaero_spark.sources.connectors import build_google_workspace_multi_source
+
+    by_app = {
+        "admin": _mk_events(7, key="ts"),
+        "login": [
+            {**e, "event_id": e["event_id"] + 100} for e in _mk_events(5, key="ts")
+        ],
+        "saml": [
+            {**e, "event_id": e["event_id"] + 200} for e in _mk_events(3, key="ts")
+        ],
+    }
+    stub = _MultiAppWorkspaceStub(by_app, page_size=4)
+    try:
+        src = build_google_workspace_multi_source(
+            {
+                "base_url": f"http://127.0.0.1:{stub.port}",
+                "token": "btok",
+                "apps": ["admin", "login", "saml"],
+                "spool_dir": str(tmp_path / "spool"),
+                "cursor_path": str(tmp_path / "cursor.json"),
+            },
+            event_time_key="ts",
+            _sleep=lambda d: None,
+        )
+        # note: this stub skips auth checks; auth is covered by the
+        # single-app preset test above
+        # two full rotations drain every app (page_size 4 needs 2 polls
+        # for admin's 7 events)
+        total = src.poll_cycle() + src.poll_cycle()
+        assert total == 15
+        # per-app cursor files exist and are isolated
+        for app in by_app:
+            assert (tmp_path / f"cursor-{app}.json").exists()
+        # apps were actually rotated one-per-poll
+        order = [r["app"] for r in stub.requests]
+        assert set(order) == {"admin", "login", "saml"}
+        # shared spool, per-app filename namespaces, no collisions
+        ids = []
+        for f in sorted((tmp_path / "spool").glob("*.jsonl")):
+            ids += [json.loads(l)["event_id"] for l in f.read_text().splitlines()]
+        assert sorted(ids) == sorted(
+            [e["event_id"] for ev in by_app.values() for e in ev]
+        )
+        # steady state: a further rotation fetches nothing new
+        assert src.poll_cycle() == 0
+        src.check_health()
+    finally:
+        stub.stop()

@@ -412,3 +412,24 @@ def test_neardup_clusters_no_driver_probe_actions(spark):
             setattr(_DF, m, saved[m])
     assert called == []  # multi-round convergence ran zero probe actions
     assert {r.doc_id: r.cluster_id for r in labels.collect()} == {1: 1, 2: 1, 3: 1}
+
+
+def test_auto_band_sizing_small_n_matches_default(spark, docs_nd):
+    """Passing n_estimate at fixture scale must reproduce the pinned
+    default banding bit-for-bit (the gate queries pass no estimate, so
+    auto-sizing can never perturb them at small N)."""
+    n = docs_nd.count()
+    base = {(r.id_a, r.id_b, r.hamming) for r in DD.simhash_pairs(docs_nd).collect()}
+    auto = {(r.id_a, r.id_b, r.hamming)
+            for r in DD.simhash_pairs(docs_nd, n_estimate=n).collect()}
+    assert auto == base
+
+
+def test_auto_band_sizing_wide_bands_still_find_exact_dups(spark, docs_nd):
+    """At a 10^9 estimate the bands widen to 2x32; exact/near-identical
+    signatures (hamming 0) still collide in every band."""
+    wide = DD.simhash_pairs(docs_nd, n_estimate=10**9)
+    exact = {(r.id_a, r.id_b) for r in wide.filter("hamming = 0").collect()}
+    base = {(r.id_a, r.id_b)
+            for r in DD.simhash_pairs(docs_nd).filter("hamming = 0").collect()}
+    assert exact == base

@@ -325,18 +325,46 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    n_estimate: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
 
-    Candidate generation: split the 64-bit signature into 4 16-bit
-    bands; by pigeonhole, any pair within Hamming 3 agrees on ≥1 band —
+    Candidate generation: split the 64-bit signature into bands; by
+    pigeonhole, any pair within Hamming(bands−1) agrees on ≥1 band —
     join on (band_idx, band_value), then verify with bit_count(xor).
-    2¹⁶ buckets per band keep within-bucket pair work at (N/65536)² —
-    the 8-bit bands of a 32-bit signature would hold N/256 docs each
-    and collapse to quadratic at ≥10⁹ docs (see functions/text.py
-    ``SIMHASH_BITS``). The arithmetic shift's sign-extension is masked
-    off by ``& 0xFFFF`` (identical low bits either way)."""
-    from vaero_spark.functions.text import SIMHASH_BAND_BITS, SIMHASH_BANDS
+    Default 4×16-bit bands: 2¹⁶ buckets per band keep within-bucket
+    pair work at (N/65536)² — the 8-bit bands of a 32-bit signature
+    would hold N/256 docs each and collapse to quadratic at ≥10⁹ docs
+    (see functions/text.py ``SIMHASH_BITS``). Pass ``n_estimate``
+    (known corpus cardinality — no counting job is run) to auto-size
+    the bands for scale via :func:`~vaero_spark.functions.lsh_tuning.
+    auto_band_bits`; wider bands shrink the pigeonhole guarantee, so a
+    ``max_hamming`` above bands−1 is logged as recall-degraded. The
+    arithmetic shift's sign-extension is masked off by the band mask
+    (identical low bits either way)."""
+    from vaero_spark.functions.text import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+    )
+
+    if n_estimate is None:
+        n_bands, band_bits = SIMHASH_BANDS, SIMHASH_BAND_BITS
+    else:
+        from vaero_spark.functions.lsh_tuning import auto_band_bits
+
+        n_bands, band_bits = auto_band_bits(
+            n_estimate, total_bits=SIMHASH_BITS, min_bits=SIMHASH_BAND_BITS
+        )
+        if max_hamming > n_bands - 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_pairs: %d bands guarantee recall only to "
+                "hamming %d < max_hamming %d — pairs beyond it may be "
+                "missed (the bounded-work trade at n≈%.1e)",
+                n_bands, n_bands - 1, max_hamming, n_estimate,
+            )
 
     sh = simhash_docs(df, id_col, text_col)
     bands = sh.select(
@@ -348,11 +376,11 @@ def simhash_pairs(
                     F.concat_ws(
                         ":",
                         F.lit(str(i)),
-                        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
-                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        F.shiftright(F.col("simhash"), band_bits * i)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .cast("string"),
                     )
-                    for i in range(SIMHASH_BANDS)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("band"),
@@ -376,6 +404,7 @@ def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     min_sim_e4: int = 9900,
+    n_estimate: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: cosine ≥ ``min_sim_e4``/1e4.
 
@@ -385,16 +414,33 @@ def embedding_neardup_pairs(
     band self-join moves only (id, band_key); vectors are joined back
     by id after the distinct — per-band buckets number 2^16, so
     within-bucket pair work is (N/65536)² per band, never all-pairs.
-    Output: (id_a, id_b, sim_e4)."""
+    Pass ``n_estimate`` (known corpus cardinality) to auto-size the
+    bands for scale (``functions/lsh_tuning.py``). Output: (id_a,
+    id_b, sim_e4)."""
     from vaero_spark.operators.similarity import (
+        SIGN_BAND_BITS,
+        SIGN_BANDS,
         _int_dot,
         _sim_e4,
         sign_band_keys_from_quant,
     )
 
+    if n_estimate is None:
+        n_bands, band_bits = SIGN_BANDS, SIGN_BAND_BITS
+    else:
+        from vaero_spark.functions.lsh_tuning import auto_band_bits
+
+        n_bands, band_bits = auto_band_bits(
+            n_estimate, total_bits=SIGN_BANDS * SIGN_BAND_BITS,
+            min_bits=SIGN_BAND_BITS,
+        )
+
     q = quantized(vec_col)
     base = df.select(F.col("vec_id"), q.alias("qv"), _int_dot(q, q).alias("nsq"))
-    bk = base.select("vec_id", F.explode(sign_band_keys_from_quant("qv")).alias("bk"))
+    bk = base.select(
+        "vec_id",
+        F.explode(sign_band_keys_from_quant("qv", n_bands, band_bits)).alias("bk"),
+    )
     cand = (
         bk.select(F.col("vec_id").alias("id_a"), "bk")
         .join(

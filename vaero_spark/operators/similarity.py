@@ -114,6 +114,7 @@ def cosine_topk_bucketed(
     vec_col: str = "embedding",
     bands: int = ANN_SIGN_BANDS,
     bits: int = ANN_SIGN_BAND_BITS,
+    n_estimate: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score pairs colliding in ≥1 sign band.
 
@@ -122,8 +123,17 @@ def cosine_topk_bucketed(
     data-sized shuffle, and vectors are fetched back by id AFTER the
     distinct, so the ×bands explosion never moves the embedding arrays.
     Expected work per band is |corpus|·|queries|/2^bits; AQE handles
-    band-bucket skew.
+    band-bucket skew. Pass ``n_estimate`` (known corpus cardinality —
+    no counting job) to auto-size (bands, bits) for the corpus scale
+    via :func:`~vaero_spark.functions.lsh_tuning.auto_band_bits`
+    instead of the 8×8 default.
     """
+    if n_estimate is not None:
+        from vaero_spark.functions.lsh_tuning import auto_band_bits
+
+        bands, bits = auto_band_bits(
+            n_estimate, total_bits=bands * bits, min_bits=ANN_SIGN_BAND_BITS
+        )
     c = _with_quant(corpus, id_col, vec_col, "n")
     q = _with_quant(queries, id_col, vec_col, "q")
     cb = c.select(

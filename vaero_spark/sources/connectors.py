@@ -29,9 +29,11 @@ backoff retries them); other 4xx map to :class:`PermanentApiError`
 Documented divergences from the reference services (sandbox has no
 network): event timestamps are expected in the connector's canonical
 ``%Y-%m-%dT%H:%M:%S.%f`` form (production would normalize RFC-3339
-zone suffixes first), and the google preset polls ONE configured app
-per source (the reference round-robins a list — run one source per app,
-which also isolates their cursors).
+zone suffixes first). The google preset polls ONE configured app per
+source by default; pass ``apps=[...]`` for the reference's per-poll
+app round-robin (:class:`GoogleWorkspaceMultiAppSource` — one isolated
+cursor per app, exactly like the reference's app-keyed cursor dict,
+``source_google_workspace.py:78-81,196-207``).
 
 Auth tokens are read from the ``args`` mapping **at request time**, not
 captured at build time, so the secrets resolver's per-poll in-place
@@ -41,6 +43,7 @@ refresh (``secrets.py``) hot-swaps credentials mid-stream.
 from __future__ import annotations
 
 import json
+import os
 import re
 import urllib.error
 import urllib.parse
@@ -157,6 +160,113 @@ def build_google_workspace_fetch_page(args: dict) -> Callable:
         return body.get("items", []), body.get("nextPageToken")
 
     return fetch_page
+
+
+class GoogleWorkspaceMultiAppSource:
+    """Reference-parity multi-app round-robin
+    (``source_google_workspace.py:78-81,196-207``): ONE source cycles a
+    configured applications list, polling one app per cycle, with each
+    app's cursor isolated (the reference keys its cursor dict by app
+    name; here each app owns a full ``PaginatedApiSource`` — cursor
+    file, crash-replay guard, late gate — sharing one spool directory
+    via per-app filename prefixes, so the pipeline still reads ONE
+    exactly-once file stream)."""
+
+    def __init__(self, sources: list):
+        if not sources:
+            raise ValueError("at least one per-app source required")
+        self.sources = sources
+        self._idx = 0
+
+    def poll(self) -> int:
+        """Poll the NEXT app in rotation (one app per cycle, like the
+        reference's ``_configured_app_idx`` advance)."""
+        src = self.sources[self._idx]
+        self._idx = (self._idx + 1) % len(self.sources)
+        return src.poll()
+
+    def poll_cycle(self) -> int:
+        """One full rotation over every app (tests / catch-up)."""
+        return sum(self.poll() for _ in self.sources)
+
+    def check_health(self) -> None:
+        for src in self.sources:
+            src.check_health()
+
+    @property
+    def poll_error(self):
+        for src in self.sources:
+            if src.poll_error is not None:
+                return src.poll_error
+        return None
+
+    def stream(self, spark, payload_schema: str):
+        self.check_health()
+        return self.sources[0].stream(spark, payload_schema)
+
+    def start_polling(self, interval: float) -> "GoogleWorkspaceMultiAppSource":
+        """Same guarded daemon-loop contract as the single source: each
+        tick advances the rotation by one app; a permanent error on any
+        app halts the loop and surfaces via check_health."""
+        import logging
+        import threading
+        import time as _time
+
+        self._stop_evt = threading.Event()
+        log = logging.getLogger(__name__)
+
+        def loop() -> None:
+            while not self._stop_evt.is_set():
+                started = _time.time()
+                src = self.sources[self._idx]
+                self._idx = (self._idx + 1) % len(self.sources)
+                try:
+                    src.poll()
+                    src.consecutive_failures = 0
+                    src.last_transient_error = None
+                except PermanentApiError as exc:
+                    src.poll_error = exc
+                    log.error("polling halted (permanent API error): %s", exc)
+                    return
+                except Exception as exc:  # noqa: BLE001
+                    src.consecutive_failures += 1
+                    src.last_transient_error = exc
+                    log.warning("poll failed, retrying next interval: %s", exc)
+                remaining = interval - (_time.time() - started)
+                if remaining > 0:
+                    self._stop_evt.wait(remaining)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        evt = getattr(self, "_stop_evt", None)
+        if evt is not None:
+            evt.set()
+            self._thread.join(timeout=30)
+
+
+def build_google_workspace_multi_source(args: dict, **source_kwargs):
+    """One ``PaginatedApiSource`` per app in ``args['apps']``, cursors
+    isolated per app (``<cursor_path>`` with an ``-<app>`` suffix before
+    the extension), one shared spool via per-app filename prefixes."""
+    from vaero_spark.sources.paginated_api import PaginatedApiSource
+
+    root, ext = os.path.splitext(args["cursor_path"])
+    sources = []
+    for app in args["apps"]:
+        app_args = {**args, "app": app}
+        sources.append(
+            PaginatedApiSource(
+                fetch_page=build_google_workspace_fetch_page(app_args),
+                spool_dir=args["spool_dir"],
+                cursor_path=f"{root}-{app}{ext or '.json'}",
+                spool_prefix=f"{app}-",
+                **source_kwargs,
+            )
+        )
+    return GoogleWorkspaceMultiAppSource(sources)
 
 
 PRESET_FETCH_PAGE = {

@@ -133,6 +133,10 @@ class PaginatedApiSource:
     max_tries: int = 5
     backoff_factor: float = 0.1
     secret_resolver: object = None  # refreshed per poll (execute.go:84-96)
+    # Distinguishes spool files when several pollers share one spool
+    # directory (e.g. the google_workspace multi-app round-robin: one
+    # cursor AND one filename namespace per app, same stream).
+    spool_prefix: str = ""
     _sleep: Callable = time.sleep
     # polling-loop health (set by the daemon loop, read by check_health):
     # a PermanentApiError halts polling and is re-raised to the caller;
@@ -145,7 +149,8 @@ class PaginatedApiSource:
         return datetime.strptime(s, ISO) if "." in s else datetime.strptime(s, ISO[:-3])
 
     def _spool_name(self, since_s: str | None) -> str:
-        return f"poll-{(since_s or 'start').replace(':', '_').replace('.', '_')}.jsonl"
+        cur = (since_s or "start").replace(":", "_").replace(".", "_")
+        return f"{self.spool_prefix}poll-{cur}.jsonl"
 
     def poll(self) -> int:
         """One poll cycle; returns the number of NEW events spooled."""

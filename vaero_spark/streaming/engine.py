@@ -88,6 +88,25 @@ def _resolve_stream_source(spark: SparkSession, node: OpNode) -> DataFrame:
             SteadyRateLimiter,
         )
 
+        if node.op == "google_workspace" and node.args.get("apps"):
+            # reference multi-app round-robin: one cursor per app, one
+            # shared spool/stream (connectors.GoogleWorkspaceMultiAppSource)
+            from vaero_spark.sources.connectors import (
+                build_google_workspace_multi_source,
+            )
+
+            src = build_google_workspace_multi_source(
+                node.args,
+                event_time_key=node.args.get(
+                    "event_time_key", PRESET_EVENT_TIME_KEY["google_workspace"]
+                ),
+                max_events_per_poll=node.args.get("max_events_per_poll"),
+                rate=SteadyRateLimiter(float(node.args.get("rate_increment", 0.0))),
+                secret_resolver=node.args.get("_secret_resolver"),
+            )
+            src.start_polling(float(node.args.get("interval", 10.0)))
+            node.args["_server"] = src
+            return src.stream(spark, node.args["schema"])
         fetch = node.args.get("fetch_page")
         if fetch is None:
             if node.op not in PRESET_FETCH_PAGE:
