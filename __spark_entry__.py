@@ -642,6 +642,52 @@ def q_http_ingest(spark, sf_dir):
     return replay_json_array_batch(bodies, payload, HTTP_INGEST_TS, HTTP_INGEST_ADDR)
 
 
+def q_s3_ingest(spark, sf_dir):
+    """Object-store (S3-shape) sink+source END-TO-END through the real
+    client code (``sources/object_store.py``; reference
+    ``source_s3.go:25-85`` list→GET→newline-split, ``sink_s3.go:30-63``
+    PutObject): the transcripts corpus is PUT into a
+    ``LocalDirObjectStore`` by ``ObjectLineSink`` (executor-side,
+    prefix-grouped, deterministic keys), then ``ObjectLineSource``
+    lists the prefix, GETs every object version, splits on newline and
+    spools atomically; the spooled corpus read back must round-trip
+    every turn bit-for-bit against the identity oracle. Timestamps ride
+    the 6-digit-micro JSON options both ways (the to_json/from_json
+    truncation trap)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from vaero_spark.sources.http_server import JSON_TS_OPTIONS
+    from vaero_spark.sources.object_store import (
+        LocalDirObjectStore,
+        ObjectLineSink,
+        ObjectLineSource,
+    )
+
+    work = tempfile.mkdtemp(prefix="vaero_q_s3ing_")
+    store = LocalDirObjectStore(f"{work}/bucket")
+    t = load_transcripts(spark, sf_dir)
+    ObjectLineSink(store, prefix_format="yyyy/MM/dd", ts_col="ts").write(t, 0)
+    src = ObjectLineSource(
+        store=store,
+        prefix="",
+        spool_dir=f"{work}/spool",
+        seen_path=f"{work}/seen.json",
+    )
+    src.poll()
+    payload = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz"
+    )
+    return (
+        spark.read.schema(T.StructType.fromDDL(payload))
+        .options(**JSON_TS_OPTIONS)
+        .json(f"{work}/spool")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings / media)
 # ---------------------------------------------------------------------------
@@ -699,6 +745,19 @@ def q_dedup_simhash(spark, sf_dir):
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: 16-bit-band candidates + Hamming ≤ 3 verify."""
     return DD.simhash_pairs(CORPUS.documents_with_neardups(spark, sf_dir))
+
+
+def q_dedup_simhash_auto(spark, sf_dir):
+    """SimHash pairs with CORPUS-SCALE-AWARE banding: ``n_estimate``
+    routes through ``functions/lsh_tuning.auto_band_bits`` (bits =
+    smallest divisor of 64 keeping expected bucket occupancy ≤ 1024,
+    clamped to the 16-bit recall floor). At the fixture estimate the
+    auto choice reproduces the pinned 4×16 default bit-for-bit — the
+    driver-gated proof that auto-sizing never perturbs small corpora
+    (at 10⁹ docs the same call widens to 2×32, unit-tested)."""
+    return DD.simhash_pairs(
+        CORPUS.documents_with_neardups(spark, sf_dir), n_estimate=1000
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -823,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_counters": q_stream_counters,
         "stream_open_sessions": q_stream_open_sessions,
         "http_ingest": q_http_ingest,
+        "s3_ingest": q_s3_ingest,
         "api_paginated": q_api_paginated,
         "txt_tokens": q_txt_tokens,
         "txt_quality": q_txt_quality,
@@ -836,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_auto": q_dedup_simhash_auto,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_cos": q_dedup_embedding_cos,
@@ -1136,6 +1197,11 @@ def oracle_sql() -> dict[str, str]:
                    '{HTTP_INGEST_TS}' AS "timestamp",
                    '{HTTP_INGEST_ADDR}' AS remoteaddr
             FROM transcripts""",
+        # object-store PUT → list → GET → newline-split → spool is an
+        # exact identity round-trip of the corpus
+        "s3_ingest": f"""{_T}
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM transcripts""",
         # cursor gate: exactly the events at/after the initial cursor,
         # each exactly once across polls/pages
         "api_paginated": f"""
@@ -1188,6 +1254,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _CLUSTERS_SQL,
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
+        # auto-banded run at the fixture estimate must equal the pinned
+        # default banding exactly (small-N invariance, driver-gated)
+        "dedup_simhash_auto": _SIMHASH_PAIRS_SQL,
         "dedup_ngram_jaccard": _NGRAM_SQL,
         "dedup_embedding": f"""{_E},
             sigs AS (SELECT vec_id,
