@@ -774,6 +774,27 @@ def q_dedup_clusters(spark, sf_dir):
     return DD.neardup_clusters(CORPUS.documents_with_neardups(spark, sf_dir))
 
 
+def q_dedup_keep(spark, sf_dir):
+    """APPLY the near-dup dedup decision (operators/curate.py): drop
+    every non-canonical cluster member, keep canonicals and
+    non-participants — the kept-corpus manifest a training run would
+    actually consume. One broadcast left-anti join on top of the
+    cluster pipeline."""
+    from vaero_spark.operators.curate import neardup_keep
+
+    return neardup_keep(CORPUS.documents_with_neardups(spark, sf_dir))
+
+
+def q_corpus_curate(spark, sf_dir):
+    """Composed training-data curation gate (operators/curate.py):
+    quality_bp ≥ 3000 AND predicted language = en AND ≥ 10 tokens —
+    the keep/reject decision over one shared tokenize pass,
+    shuffle-free."""
+    from vaero_spark.operators.curate import curate_documents
+
+    return curate_documents(CORPUS.load_documents(spark, sf_dir))
+
+
 def q_conv_assemble(spark, sf_dir):
     """Conversation-document assembly: turns → one role-tagged training
     document per conversation with integrity columns (the canonical
@@ -894,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep": q_dedup_keep,
+        "corpus_curate": q_corpus_curate,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_auto": q_dedup_simhash_auto,
@@ -988,6 +1011,32 @@ _CLUSTERS_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
     SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
 
 _MINHASH_SQL = f"{_D}, {_MINHASH_BODY} SELECT id_a, id_b, inter, union_n FROM vpairs"
+
+# kept-corpus manifest: drop non-canonical cluster members (same
+# recursive reachability as _CLUSTERS_SQL, then an anti-membership
+# filter over the full corpus)
+_DEDUP_KEEP_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
+    {_MINHASH_BODY},
+    sym AS (SELECT id_a AS a, id_b AS b FROM vpairs
+            UNION ALL SELECT id_b, id_a FROM vpairs),
+    reach AS (
+      SELECT a AS node, a AS lab FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+               FROM reach GROUP BY node)
+    SELECT d.doc_id, md5(d.text) AS text_md5 FROM documents_nd d
+    WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM labels WHERE doc_id != cluster_id)"""
+
+# composed curation gate over one tokenize pass; thresholds mirror
+# operators/curate.curate_documents defaults
+_CURATE_SQL = f"""
+    SELECT doc_id, pred_lang, n_tokens, quality_bp FROM (
+      SELECT doc_id, {TXT.lang_id_sql()} AS pred_lang, {TXT.quality_sql()}
+      FROM documents) q
+    WHERE quality_bp >= 3000 AND pred_lang = 'en' AND n_tokens >= 10"""
 
 _SIMHASH_BANDS_DUCK = ", ".join(
     f"CAST({i} AS VARCHAR) || ':' || "
@@ -1252,6 +1301,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents_nd GROUP BY md5(text)""",
         "dedup_minhash": _MINHASH_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
+        "dedup_keep": _DEDUP_KEEP_SQL,
+        "corpus_curate": _CURATE_SQL,
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         # auto-banded run at the fixture estimate must equal the pinned

@@ -433,3 +433,35 @@ def test_auto_band_sizing_wide_bands_still_find_exact_dups(spark, docs_nd):
     base = {(r.id_a, r.id_b)
             for r in DD.simhash_pairs(docs_nd).filter("hamming = 0").collect()}
     assert exact == base
+
+
+def test_neardup_keep_drops_exactly_noncanonicals(spark, docs_nd):
+    """The kept corpus = all docs minus non-canonical cluster members;
+    every cluster contributes exactly its canonical (min-id) doc."""
+    from vaero_spark.operators.curate import neardup_keep
+
+    clusters = {r.doc_id: r.cluster_id for r in DD.neardup_clusters(docs_nd).collect()}
+    kept = {r.doc_id for r in neardup_keep(docs_nd).collect()}
+    all_ids = {r.doc_id for r in docs_nd.select("doc_id").collect()}
+    expect_dropped = {d for d, c in clusters.items() if d != c}
+    assert kept == all_ids - expect_dropped
+    for c in set(clusters.values()):
+        assert c in kept  # canonical survives
+
+
+def test_curate_documents_thresholds(spark):
+    """Every kept row satisfies all three gates; rows failing any single
+    gate are excluded."""
+    from vaero_spark.operators.curate import curate_documents
+
+    rows = [
+        (1, "the of and to in is it for on as he was with " * 10),  # en, long, stopword-rich
+        (2, "zz qq xx"),                                            # too short
+        (3, "der die und das ist nicht ein eine mit von " * 10),    # not en
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = curate_documents(df, min_quality_bp=3000, langs=("en",), min_tokens=10)
+    got = {r.doc_id: r for r in kept.collect()}
+    assert set(got) == {1}
+    assert got[1].pred_lang == "en"
+    assert got[1].quality_bp >= 3000 and got[1].n_tokens >= 10

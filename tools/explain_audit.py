@@ -52,6 +52,14 @@ CHECKS = {
     # vocabulary top-k: distributed TakeOrderedAndProject, not a global sort
     "txt_topk_tokens": (["TakeOrderedAndProject"], ["CartesianProduct"]),
     "corpus_stats": (["HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
+    # curation gate: narrow projection + filter over one tokenize pass —
+    # strictly shuffle-free
+    "corpus_curate": ([], ["Exchange", "CartesianProduct"]),
+    # kept-corpus manifest: the drop-list side must be BROADCAST into a
+    # left-anti join (never a sort-merge anti over the full corpus)
+    "dedup_keep": (["BroadcastHashJoin", "LeftAnti"], ["SortMergeJoin", "CartesianProduct"]),
+    # object-store ingestion replay: a spool scan, nothing else
+    "s3_ingest": ([], ["Exchange", "CartesianProduct"]),
 }
 
 
@@ -98,7 +106,10 @@ def main() -> None:
     # ingestion shims collect at BUILD time by design (the connector is
     # the driver-side subprocess role; the distributed path is the spool
     # stream) — exempt from the action guard, still plan-audited
-    ACTION_EXEMPT = {"api_paginated"}
+    # (s3_ingest: the sink PUT + poller spool run at build time — the
+    # driver-side-subprocess ingestion role; the distributed path is the
+    # spool scan, which IS plan-audited)
+    ACTION_EXEMPT = {"api_paginated", "s3_ingest"}
 
     for name, (must, must_not) in CHECKS.items():
         guard = contextlib.nullcontext() if name in ACTION_EXEMPT else no_actions(name)
