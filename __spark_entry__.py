@@ -795,6 +795,24 @@ def q_corpus_curate(spark, sf_dir):
     return curate_documents(CORPUS.load_documents(spark, sf_dir))
 
 
+CORPUS_SAMPLE_RATES = {"en": 64, "zh": 256}  # keep 1/4 of en, all zh
+CORPUS_SAMPLE_DEFAULT = 128  # other languages: half
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Corpus BALANCING: per-language deterministic hash sample
+    (operators/transforms.sample_stratified) — downsample the dominant
+    language, keep all of the rare one, halve the rest; selection is a
+    pure row function (md5 last byte vs per-stratum hex threshold), so
+    the result is identical across engines, partitionings, and cluster
+    sizes."""
+    return TR.sample_stratified(
+        CORPUS.load_documents(spark, sf_dir).select("doc_id", "lang"),
+        CORPUS_SAMPLE_RATES,
+        default_256ths=CORPUS_SAMPLE_DEFAULT,
+    )
+
+
 def q_conv_assemble(spark, sf_dir):
     """Conversation-document assembly: turns → one role-tagged training
     document per conversation with integrity columns (the canonical
@@ -917,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "corpus_curate": q_corpus_curate,
+        "corpus_sample": q_corpus_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_auto": q_dedup_simhash_auto,
@@ -1303,6 +1322,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _CLUSTERS_SQL,
         "dedup_keep": _DEDUP_KEEP_SQL,
         "corpus_curate": _CURATE_SQL,
+        "corpus_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {TR.sample_stratified_sql(CORPUS_SAMPLE_RATES,
+                                            default_256ths=CORPUS_SAMPLE_DEFAULT)}""",
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         # auto-banded run at the fixture estimate must equal the pinned

@@ -465,3 +465,31 @@ def test_curate_documents_thresholds(spark):
     assert set(got) == {1}
     assert got[1].pred_lang == "en"
     assert got[1].quality_bp >= 3000 and got[1].n_tokens >= 10
+
+
+def test_sample_stratified_deterministic_and_partition_independent(spark):
+    """Selection is a pure row function: identical result under any
+    repartitioning; rate 0 keeps nothing, 256 keeps everything; unknown
+    strata take the default."""
+    from vaero_spark.operators.transforms import sample_stratified
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 64, "zh": 256, "fr": 0}
+    a = {r.doc_id for r in sample_stratified(df, rates, default_256ths=128).collect()}
+    b = {r.doc_id for r in
+         sample_stratified(df.repartition(13), rates, default_256ths=128).collect()}
+    assert a == b  # partitioning-independent
+    by_lang = {}
+    for r in df.collect():
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert by_lang["zh"] <= a                       # rate 256: all kept
+    kept_en = len(a & by_lang["en"]) / len(by_lang["en"])
+    kept_de = len(a & by_lang["de"]) / len(by_lang["de"])
+    assert 0.10 < kept_en < 0.40                    # ~64/256
+    assert 0.35 < kept_de < 0.65                    # default ~128/256
+    none = sample_stratified(df, {"en": 0, "de": 0, "zh": 0}).collect()
+    assert none == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_stratified(df, {"en": 300})

@@ -59,3 +59,25 @@ def test_occupancy_target_is_the_knob():
     # a tighter occupancy target widens the bands at the same N
     assert auto_band_bits(10**6, min_bits=8, target_occupancy=16)[1] == 16
     assert auto_band_bits(10**6, min_bits=8, target_occupancy=1)[1] == 32
+
+
+def test_ivf_and_hyperplane_params_scale():
+    from vaero_spark.operators.similarity import (
+        hyperplane_params_for,
+        ivf_params_for,
+    )
+
+    # sqrt-N centroid rule with bounded probes
+    assert ivf_params_for(256) == (16, 4)          # fixture floor = defaults
+    assert ivf_params_for(10**6) == (1000, 64)
+    cents, probe = ivf_params_for(10**9)
+    assert cents == 31623 and probe == 64          # candidates ~ 64*sqrt(N)
+    assert ivf_params_for(10**12)[0] == 65536      # nlist budget cap
+    # hyperplane planes sized like band bits; tables = recall multiplicity
+    assert hyperplane_params_for(1000) == (4, 12)  # small-N floor
+    assert hyperplane_params_for(10**6) == (10, 12)
+    assert hyperplane_params_for(10**9) == (20, 12)
+    assert hyperplane_params_for(10**12) == (24, 12)  # plane cap
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ivf_params_for(0)

@@ -60,6 +60,8 @@ CHECKS = {
     "dedup_keep": (["BroadcastHashJoin", "LeftAnti"], ["SortMergeJoin", "CartesianProduct"]),
     # object-store ingestion replay: a spool scan, nothing else
     "s3_ingest": ([], ["Exchange", "CartesianProduct"]),
+    # per-stratum hash sample: a pure filter, shuffle-free
+    "corpus_sample": (["Filter"], ["Exchange", "CartesianProduct"]),
 }
 
 

@@ -43,6 +43,43 @@ ANN_SIGN_BANDS = 8  # ANN: 8 bands × 8 bits
 ANN_SIGN_BAND_BITS = 8
 
 
+def ivf_params_for(n_estimate: int, probe_frac_denom: int = 8) -> tuple[int, int]:
+    """(n_centroids, n_probe) for an estimated corpus of ``n_estimate``
+    vectors: the standard IVF sizing ``nlist ≈ √N`` (balances
+    assignment cost N·nlist against per-query scan nprobe·N/nlist),
+    probing ``nlist/probe_frac_denom`` cells (≥4, ≤64 — per-query
+    candidates stay ≈ ``64·√N``, sublinear in N). Clamped to
+    [16, 65536] centroids; the 16-row fixture default is reproduced at
+    small N so gate behavior never shifts."""
+    import math
+
+    if n_estimate < 1:
+        raise ValueError(f"n_estimate must be >= 1, got {n_estimate}")
+    n_centroids = min(max(16, round(math.sqrt(n_estimate))), 65536)
+    n_probe = min(max(4, n_centroids // probe_frac_denom), 64)
+    return n_centroids, n_probe
+
+
+def hyperplane_params_for(
+    n_estimate: int, target_occupancy: int = 1024
+) -> tuple[int, int]:
+    """(n_planes, n_tables) for an estimated corpus: planes = the bits
+    of one table's bucket id, sized exactly like the sign-band widths
+    (smallest count keeping expected bucket occupancy ``N/2^planes ≤
+    target``, clamped to [4, 24]); tables = 12, the measured
+    recall-oriented multiplicity (recall@5 0.89-0.93 on the diffuse
+    bench corpus, ``BENCH/scale_ops_r4.json``) — raise it for more
+    recall at proportional candidate cost."""
+    import math
+
+    if n_estimate < 1:
+        raise ValueError(f"n_estimate must be >= 1, got {n_estimate}")
+    planes = min(
+        max(4, math.ceil(math.log2(max(n_estimate / target_occupancy, 1.0)))), 24
+    )
+    return planes, 12
+
+
 def _int_dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -254,6 +291,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_estimate: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the other production scale path next to
     LSH: coarse-quantize the corpus into ``n_centroids`` spherical
@@ -266,15 +304,23 @@ def cosine_topk_ivf(
 
     Centroids here are a deterministic hash-ordered sample of corpus
     vectors, unit-normalized (a k-means-free coarse quantizer — one
-    tiny bounded collect, the model-fitting step; production swaps in
-    ``pyspark.ml.clustering.KMeans`` centers without touching the rest
-    of the plan). Assignment is a vectorized numpy matmul per Arrow
-    batch. Spark-only (float math has no bit-stable SQL twin); verified
-    against brute force in tests like the hyperplane path.
+    bounded collect of ``n_centroids`` rows, the model-fitting step;
+    capped at 65536 even under ``n_estimate`` auto-sizing ≈ 16 MB of
+    float64 at dim 64, i.e. model-sized, and broadcast to workers via
+    the UDF closure. Production swaps in ``pyspark.ml.clustering.
+    KMeans`` centers without touching the rest of the plan).
+    Assignment is a vectorized numpy matmul per Arrow batch. Pass
+    ``n_estimate`` to size (n_centroids, n_probe) by the √N rule
+    (:func:`ivf_params_for`). Spark-only (float math has no bit-stable
+    SQL twin); verified against brute force in tests like the
+    hyperplane path.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if n_estimate is not None:
+        n_centroids, n_probe = ivf_params_for(n_estimate)
 
     cents = (
         corpus.select(id_col, vec_col)
@@ -331,6 +377,7 @@ def cosine_topk_hyperplane(
     n_tables: int = 6,
     seed: int = 42,
     dim: int = 64,
+    n_estimate: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN (production path, Spark-only).
 
@@ -347,6 +394,9 @@ def cosine_topk_hyperplane(
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    if n_estimate is not None:
+        n_planes, n_tables = hyperplane_params_for(n_estimate)
 
     rng = np.random.default_rng(seed)
     # (dim, n_tables * n_planes): table t owns columns [t*p, (t+1)*p)

@@ -109,3 +109,56 @@ def hash_sample(df: DataFrame, rate_16ths: int, key: str = "text") -> DataFrame:
         raise ValueError("rate_16ths in [0,16]")
     keep = list(_HEX[:rate_16ths])
     return df.filter(F.substring(F.md5(F.col(key).cast("string")), 32, 1).isin(keep))
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates_256ths: dict[str, int],
+    strata_col: str = "lang",
+    key: str = "doc_id",
+    default_256ths: int = 256,
+) -> DataFrame:
+    """Per-stratum deterministic hash sample — the corpus-BALANCING op
+    of a training-data pipeline (downsample dominant languages/sources,
+    keep all of rare ones): keep ``rates_256ths[stratum]/256`` of each
+    stratum by the last byte of ``md5(key)``; strata not listed keep
+    ``default_256ths/256``.
+
+    Engine-neutral trick: a fixed-length lowercase-hex string compares
+    lexicographically in the SAME order as its numeric value, so "last
+    byte < rate" is a plain string comparison ``substr(md5, 31, 2) <
+    format(rate, '02x')`` — byte-identical in Spark and any SQL oracle
+    with no hex-to-int parsing. Like :func:`hash_sample`, the selection
+    is a pure function of the row (reproducible across engines,
+    partitionings, and cluster sizes — ``df.sample`` is not).
+    """
+    for s, r in rates_256ths.items():
+        if not 0 <= r <= 256:
+            raise ValueError(f"rate for {s!r} must be in [0,256], got {r}")
+    if not 0 <= default_256ths <= 256:
+        raise ValueError("default_256ths in [0,256]")
+    byte_hex = F.substring(F.md5(F.col(key).cast("string")), 31, 2)
+    thresh = F.lit(f"{default_256ths:02x}" if default_256ths < 256 else "zz")
+    for s, r in sorted(rates_256ths.items()):
+        t = f"{r:02x}" if r < 256 else "zz"  # 'zz' > any hex pair: keep all
+        thresh = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thresh)
+    return df.filter(byte_hex < thresh)
+
+
+def sample_stratified_sql(
+    rates_256ths: dict[str, int],
+    strata_col: str = "lang",
+    key: str = "doc_id",
+    default_256ths: int = 256,
+) -> str:
+    """DuckDB twin of :func:`sample_stratified`'s keep-predicate."""
+    whens = "\n".join(
+        f"WHEN {strata_col} = '{s}' THEN "
+        f"'{f'{r:02x}' if r < 256 else 'zz'}'"
+        for s, r in sorted(rates_256ths.items())
+    )
+    default = f"{default_256ths:02x}" if default_256ths < 256 else "zz"
+    return (
+        f"substring(md5(CAST({key} AS VARCHAR)), 31, 2) < "
+        f"(CASE {whens} ELSE '{default}' END)"
+    )
