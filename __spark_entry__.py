@@ -795,6 +795,19 @@ def q_corpus_curate(spark, sf_dir):
     return curate_documents(CORPUS.load_documents(spark, sf_dir))
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Corpus clustering: distributed Lloyd's k-means on the unit
+    sphere (operators/cluster.py) — vectorized assignment per Arrow
+    batch, k·dim driver model update, observe-based convergence, per
+    -round localCheckpoint. Spark-only (iterative float math has no
+    bit-stable SQL twin — no_oracle by design); pytest pins exact
+    assignment parity with a same-seed numpy reference."""
+    from vaero_spark.operators.cluster import embed_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embed_kmeans(emb, k=8)
+
+
 CORPUS_SAMPLE_RATES = {"en": 64, "zh": 256}  # keep 1/4 of en, all zh
 CORPUS_SAMPLE_DEFAULT = 128  # other languages: half
 
@@ -936,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "corpus_curate": q_corpus_curate,
         "corpus_sample": q_corpus_sample,
+        "emb_kmeans": q_emb_kmeans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_auto": q_dedup_simhash_auto,

@@ -493,3 +493,54 @@ def test_sample_stratified_deterministic_and_partition_independent(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sample_stratified(df, {"en": 300})
+
+
+def test_embed_kmeans_matches_numpy_reference(spark, emb):
+    """Distributed Lloyd's == a same-seed numpy reference run with the
+    identical init/tie-break/update rules, assignment for assignment."""
+    import numpy as np
+    from vaero_spark.operators.cluster import embed_kmeans
+
+    k = 4
+    got = {r.vec_id: r.cluster for r in embed_kmeans(emb, k=k).collect()}
+
+    rows = emb.select(
+        "vec_id", "embedding", F.xxhash64(F.col("vec_id")).alias("h")
+    ).collect()
+    ids = [r.vec_id for r in rows]
+    X = np.vstack([np.asarray(r.embedding, dtype="float64") for r in rows])
+    Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    seed_ids = [r.vec_id for r in sorted(rows, key=lambda r: r.h)[:k]]
+    C = np.vstack([Xn[ids.index(i)] for i in seed_ids])
+    lab = None
+    for _ in range(20):
+        new = np.argmax(Xn @ C.T, axis=1)
+        if lab is not None and (new == lab).all():
+            break
+        lab = new
+        for c in range(k):
+            m = Xn[lab == c]
+            if len(m):
+                v = m.mean(axis=0)
+                C[c] = v / (np.linalg.norm(v) + 1e-12)
+    want = dict(zip(ids, (int(x) for x in lab)))
+    assert got == want
+
+
+def test_embed_kmeans_duplicates_cocluster_and_k1(spark):
+    from vaero_spark.operators.cluster import embed_kmeans
+
+    e = CORPUS.embeddings_with_dups(spark, SF)
+    lab = {r.vec_id: r.cluster for r in embed_kmeans(e, k=4).collect()}
+    dups = [
+        (r.vec_id, r.vec_id + CORPUS.ND_OFFSET)
+        for r in e.filter(
+            (F.col("vec_id") % CORPUS.EMB_ND_EVERY == 0)
+            & (F.col("vec_id") < CORPUS.ND_OFFSET)
+        ).collect()
+    ]
+    assert dups
+    for a, b in dups:
+        assert lab[a] == lab[b]  # identical vectors share a cluster
+    one = {r.cluster for r in embed_kmeans(e, k=1).collect()}
+    assert one == {0}
