@@ -795,6 +795,16 @@ def q_corpus_curate(spark, sf_dir):
     return curate_documents(CORPUS.load_documents(spark, sf_dir))
 
 
+def q_corpus_pack(spark, sf_dir):
+    """Greedy token-budget sequence packing into training sequences
+    (operators/assemble.pack_sequences): shards pack independently
+    (the parallel dimension), docs pack in doc_id order within a
+    shard; exact recursive-CTE oracle."""
+    from vaero_spark.operators.assemble import pack_sequences
+
+    return pack_sequences(CORPUS.load_documents(spark, sf_dir))
+
+
 def q_emb_kmeans(spark, sf_dir):
     """Corpus clustering: distributed Lloyd's k-means on the unit
     sphere (operators/cluster.py) — vectorized assignment per Arrow
@@ -950,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "corpus_sample": q_corpus_sample,
         "emb_kmeans": q_emb_kmeans,
+        "corpus_pack": q_corpus_pack,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_auto": q_dedup_simhash_auto,
@@ -1062,6 +1073,11 @@ _DEDUP_KEEP_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
     SELECT d.doc_id, md5(d.text) AS text_md5 FROM documents_nd d
     WHERE d.doc_id NOT IN
           (SELECT doc_id FROM labels WHERE doc_id != cluster_id)"""
+
+# greedy token-budget packing, recursive-CTE twin of pack_sequences
+from vaero_spark.operators.assemble import pack_sequences_sql as _pack_sql
+
+_CORPUS_PACK_SQL = f"WITH RECURSIVE {_pack_sql('documents')}"
 
 # composed curation gate over one tokenize pass; thresholds mirror
 # operators/curate.curate_documents defaults
@@ -1340,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE {TR.sample_stratified_sql(CORPUS_SAMPLE_RATES,
                                             default_256ths=CORPUS_SAMPLE_DEFAULT)}""",
+        "corpus_pack": _CORPUS_PACK_SQL,
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         # auto-banded run at the fixture estimate must equal the pinned

@@ -544,3 +544,29 @@ def test_embed_kmeans_duplicates_cocluster_and_k1(spark):
         assert lab[a] == lab[b]  # identical vectors share a cluster
     one = {r.cluster for r in embed_kmeans(e, k=1).collect()}
     assert one == {0}
+
+
+def test_pack_sequences_greedy_rule_and_edges(spark):
+    """Exact greedy semantics: budget-boundary fits, resets, and
+    oversized docs occupying a sequence alone."""
+    from vaero_spark.operators.assemble import pack_sequences
+
+    mk = lambda n: " ".join(f"w{j}" for j in range(n))  # noqa: E731
+    rows = [  # one shard (n_shards=1): ids pack in order
+        (0, mk(3)), (1, mk(4)), (2, mk(3)),   # 3+4+3 = 10 = budget: one seq
+        (3, mk(11)),                          # oversized: alone
+        (4, mk(1)), (5, mk(10)),              # 1 fits; 10 would overflow -> new
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.seq_idx, r.n_tokens)
+           for r in pack_sequences(df, budget_tokens=10, n_shards=1).collect()}
+    assert got == {0: (0, 3), 1: (0, 4), 2: (0, 3),
+                   3: (1, 11), 4: (2, 1), 5: (3, 10)}
+    # shards pack independently: same docs, 2 shards -> per-shard order
+    got2 = {r.doc_id: (r.shard, r.seq_idx)
+            for r in pack_sequences(df, budget_tokens=10, n_shards=2).collect()}
+    assert {d for d, (s, _) in got2.items() if s == 0} == {0, 2, 4}
+    assert {d for d, (s, _) in got2.items() if s == 1} == {1, 3, 5}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(df, budget_tokens=0)

@@ -62,6 +62,9 @@ CHECKS = {
     "s3_ingest": ([], ["Exchange", "CartesianProduct"]),
     # per-stratum hash sample: a pure filter, shuffle-free
     "corpus_sample": (["Filter"], ["Exchange", "CartesianProduct"]),
+    # sequence packing: ONE shuffle on shard feeding the per-shard
+    # greedy loop — never a global sort over the corpus
+    "corpus_pack": (["FlatMapGroupsInPandas"], ["CartesianProduct", "Sort ["]),
 }
 
 

@@ -75,3 +75,112 @@ def assemble_sql(table: str = "transcripts", conv_col: str = "conv_id") -> str:
                  COUNT(*) AS n_turns
           FROM {table} GROUP BY {conv_col}
         )"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (token-budget bin packing for training sequences)
+# ---------------------------------------------------------------------------
+
+PACK_OUTPUT_DDL = "doc_id bigint, shard int, seq_idx int, n_tokens bigint"
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy token-budget sequence packing — the step that turns a
+    curated document corpus into fixed-budget training sequences
+    (next-in-order packing, the scheme most LLM data pipelines use so
+    sequence composition is reproducible; no reference counterpart,
+    SURVEY.md §2.7).
+
+    Documents are sharded by ``doc_id % n_shards`` (shards pack
+    independently and in parallel — at 100 TB raise ``n_shards`` to
+    any multiple of the cluster's task slots; packing quality is
+    per-shard and unaffected) and packed within each shard in
+    ``doc_id`` order: a doc that would push the running sequence past
+    ``budget_tokens`` starts the next sequence; an oversized doc
+    occupies a sequence alone. Token counts are whitespace tokens
+    (``functions/text.tokens`` — the oracle-exact counter).
+
+    Distributed shape: one narrow pass computes (shard, n_tokens), one
+    shuffle groups shards, and an ``applyInPandas`` runs the exact
+    greedy loop per shard (O(shard rows), the same sequential-decision
+    class as the sink's byte-cap flush ``operators/state.byte_cap_flush``
+    — the per-shard order dependency is inherent to packing, the
+    parallelism comes from sharding). Output: (doc_id, shard, seq_idx,
+    n_tokens) — integer-only, exactly reproduced by a recursive-CTE
+    oracle.
+    """
+    import pandas as pd
+
+    from vaero_spark.functions.text import tokens
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_idx, acc = 0, 0
+        out = []
+        for i, n in enumerate(pdf["n_tokens"]):
+            n = int(n)
+            if i == 0:
+                acc = n
+            elif acc + n > budget_tokens:
+                seq_idx += 1
+                acc = n
+            else:
+                acc += n
+            out.append(seq_idx)
+        pdf["seq_idx"] = pd.Series(out, dtype="int32")
+        return pdf[["doc_id", "shard", "seq_idx", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(_pack, PACK_OUTPUT_DDL)
+
+
+def pack_sequences_sql(
+    table: str,
+    budget_tokens: int = 512,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Recursive-CTE oracle of :func:`pack_sequences` (same greedy
+    rule, row by row per shard). The caller must put ``WITH RECURSIVE``
+    in front (DuckDB requires it on the whole CTE chain)."""
+    from vaero_spark.functions.text import tokens_sql
+
+    return f"""
+    sized AS (
+      SELECT {id_col} AS doc_id,
+             CAST({id_col} % {n_shards} AS INTEGER) AS shard,
+             CAST(len({tokens_sql(text_col)}) AS BIGINT) AS n_tokens
+      FROM {table}),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM sized),
+    pack AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             0 AS seq_idx, n_tokens AS acc
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CAST(CASE WHEN p.acc + o.n_tokens > {budget_tokens}
+                  THEN p.seq_idx + 1 ELSE p.seq_idx END AS INTEGER),
+             CASE WHEN p.acc + o.n_tokens > {budget_tokens}
+                  THEN o.n_tokens ELSE p.acc + o.n_tokens END
+      FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+    SELECT doc_id, shard, CAST(seq_idx AS INTEGER) AS seq_idx, n_tokens
+    FROM pack"""
