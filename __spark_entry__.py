@@ -795,6 +795,37 @@ def q_corpus_curate(spark, sf_dir):
     return curate_documents(CORPUS.load_documents(spark, sf_dir))
 
 
+def q_corpus_decontam(spark, sf_dir):
+    """Eval-set decontamination (operators/curate.decontaminate_flags):
+    flag training docs sharing ≥ 25 distinct k-word shingles with any
+    eval doc. Fixture split: the planted near-dup copies (doc_id ≥
+    ND_OFFSET) play the eval set, so their originals — the truly
+    contaminated docs, overlapping at 85-96 shingles — get flagged,
+    while formulaic boilerplate overlap (fixture median 6, p75 9) stays
+    below the threshold: the threshold choice IS the op's precision
+    knob on boilerplate-heavy corpora."""
+    from vaero_spark.operators.curate import decontaminate_flags
+
+    d = CORPUS.documents_with_neardups(spark, sf_dir)
+    return decontaminate_flags(
+        d.filter(F.col("doc_id") < CORPUS.ND_OFFSET),
+        d.filter(F.col("doc_id") >= CORPUS.ND_OFFSET),
+        min_overlap=25,
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Composed PII scrub (operators/curate.pii_scrub): mask emails /
+    IPv4 / long digit runs with per-category removal counts — narrow
+    per-row expressions, shuffle-free."""
+    from vaero_spark.operators.curate import pii_scrub
+
+    t = load_transcripts(spark, sf_dir)
+    return pii_scrub(t).select(
+        "conv_id", "turn_idx", "email_n", "ipv4_n", "longnum_n", "text"
+    )
+
+
 def q_corpus_pack(spark, sf_dir):
     """Greedy token-budget sequence packing into training sequences
     (operators/assemble.pack_sequences): shards pack independently
@@ -961,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "emb_kmeans": q_emb_kmeans,
         "corpus_pack": q_corpus_pack,
+        "corpus_decontam": q_corpus_decontam,
+        "pii_scrub": q_pii_scrub,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_auto": q_dedup_simhash_auto,
@@ -1076,6 +1109,8 @@ _DEDUP_KEEP_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
 
 # greedy token-budget packing, recursive-CTE twin of pack_sequences
 from vaero_spark.operators.assemble import pack_sequences_sql as _pack_sql
+from vaero_spark.operators.curate import decontaminate_sql as _decontam_sql
+from vaero_spark.operators.curate import pii_scrub_sql as _pii_sql
 
 _CORPUS_PACK_SQL = f"WITH RECURSIVE {_pack_sql('documents')}"
 
@@ -1357,6 +1392,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE {TR.sample_stratified_sql(CORPUS_SAMPLE_RATES,
                                             default_256ths=CORPUS_SAMPLE_DEFAULT)}""",
         "corpus_pack": _CORPUS_PACK_SQL,
+        "corpus_decontam": f"""{_D},
+            {_decontam_sql('documents_nd', f'doc_id >= {CORPUS.ND_OFFSET}',
+                           min_overlap=25)}""",
+        "pii_scrub": f"""{_T}
+            SELECT conv_id, turn_idx, {_pii_sql()}
+            FROM transcripts""",
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         # auto-banded run at the fixture estimate must equal the pinned

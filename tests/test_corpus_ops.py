@@ -570,3 +570,41 @@ def test_pack_sequences_greedy_rule_and_edges(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_sequences(df, budget_tokens=0)
+
+
+def test_decontaminate_flags_planted_originals(spark, docs_nd):
+    """With the planted near-dup copies as the eval set, a threshold
+    above the boilerplate-overlap band flags (almost exactly) the
+    planted originals and nothing else."""
+    from vaero_spark.operators.curate import decontaminate_flags
+
+    train = docs_nd.filter(F.col("doc_id") < CORPUS.ND_OFFSET)
+    ev = docs_nd.filter(F.col("doc_id") >= CORPUS.ND_OFFSET)
+    flagged = {r.doc_id: r.n_overlap
+               for r in decontaminate_flags(train, ev, min_overlap=25).collect()}
+    assert flagged
+    originals = {r.doc_id - CORPUS.ND_OFFSET for r in ev.collect()}
+    hit = originals & set(flagged)
+    # most true contamination found (a short original whose planted copy
+    # mutated enough can drop under the threshold — fixture reads 39/50)
+    assert len(hit) >= 0.75 * len(originals)
+    # the true-contamination overlaps dominate the ranking; the corpus
+    # also has ORGANIC near-boilerplate (doc 391 vs 390's copy), so a
+    # minority of non-originals legitimately rank high too
+    top = sorted(flagged, key=lambda d: -flagged[d])[: len(hit)]
+    assert sum(1 for d in top if d in originals) >= 0.7 * len(top)
+
+
+def test_pii_scrub_counts_and_masks(spark):
+    from vaero_spark.operators.curate import pii_scrub
+
+    rows = [
+        (1, "mail a@b.co and c.d@e.org plus ip 10.0.0.1 and card 12345678901"),
+        (2, "clean text with short 123 numbers"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r for r in pii_scrub(df).collect()}
+    assert (got[1].email_n, got[1].ipv4_n, got[1].longnum_n) == (2, 1, 1)
+    assert got[1].text == "mail <EMAIL> and <EMAIL> plus ip <IPV4> and card <LONGNUM>"
+    assert (got[2].email_n, got[2].ipv4_n, got[2].longnum_n) == (0, 0, 0)
+    assert got[2].text == rows[1][1]

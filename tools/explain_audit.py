@@ -65,6 +65,13 @@ CHECKS = {
     # sequence packing: ONE shuffle on shard feeding the per-shard
     # greedy loop — never a global sort over the corpus
     "corpus_pack": (["FlatMapGroupsInPandas"], ["CartesianProduct", "Sort ["]),
+    # decontamination: the (small) eval shingle set must broadcast into
+    # the shingle equi-join — never a sort-merge over the corpus side
+    "corpus_decontam": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # composed PII masks: narrow per-row regexes (the plan's single
+    # Exchange is the transcripts fixture's turn_idx window derivation —
+    # see the transcripts NOTE above — not the operator)
+    "pii_scrub": (["Filter|Project"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 

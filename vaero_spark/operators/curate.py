@@ -76,3 +76,126 @@ def neardup_keep(
     return df.join(F.broadcast(drop), id_col, "left_anti").select(
         id_col, F.md5(text_col).alias("text_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination (n-gram overlap against a blocklist corpus)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_flags(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents that share ≥ ``min_overlap`` DISTINCT
+    k-word shingles with ANY document of an evaluation set — the
+    benchmark-decontamination step every serious LLM data pipeline runs
+    (n-gram overlap is the standard first-line test; the eval corpus is
+    the blocklist).
+
+    Distributed shape: the eval set's distinct shingles form a SMALL
+    table (eval benchmarks are tiny next to a training corpus) that the
+    shingle equi-join broadcasts; per training doc, matched DISTINCT
+    shingles are counted — no pairwise doc×doc work, no all-pairs.
+    Output: (id, n_overlap) for flagged docs, integer-exact.
+    """
+    from vaero_spark.functions.text import shingles, tokens
+
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(tokens(text_col)))).alias("shingle"),
+    )
+    eval_sh = eval_df.select(
+        F.explode(F.array_distinct(shingles(tokens(text_col)))).alias("shingle")
+    ).distinct()
+    return (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def decontaminate_sql(
+    docs_table: str,
+    eval_where: str,
+    min_overlap: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`decontaminate_flags` where the eval set is
+    ``docs_table`` rows matching ``eval_where`` and the training side is
+    the rest (the fixture split)."""
+    from vaero_spark.functions.text import shingles_sql, tokens_sql
+
+    sh = shingles_sql(tokens_sql(text_col))
+    return f"""
+    doc_sh AS (
+      SELECT {id_col} AS doc_id, unnest(list_distinct({sh})) AS shingle
+      FROM {docs_table} WHERE NOT ({eval_where})),
+    eval_sh AS (
+      SELECT DISTINCT unnest(list_distinct({sh})) AS shingle
+      FROM {docs_table} WHERE {eval_where})
+    SELECT doc_id, count(*) AS n_overlap
+    FROM doc_sh JOIN eval_sh USING (shingle)
+    GROUP BY doc_id HAVING count(*) >= {min_overlap}"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (composed category masks + per-category counts)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no \d shorthand, explicit classes.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
+    "ipv4": "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "longnum": "[0-9]{7,}",
+}
+PII_ORDER = ["email", "ipv4", "longnum"]  # email first: it contains digits
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Scrub PII categories from ``text_col`` and count what was
+    removed: emails, IPv4 addresses, long digit runs (IDs/phones/cards)
+    — the composed privacy pass of a training-data pipeline
+    (generalizes the reference's single-regex ``mask``,
+    ``/root/reference/transform/mask.go``). Categories apply in
+    ``PII_ORDER`` (email first — its local part contains digit runs).
+    Adds ``<cat>_n`` counts (from the PRE-scrub text) and replaces the
+    text in place with ``<CAT>`` markers. Narrow per-row expressions,
+    shuffle-free."""
+    out = df
+    scrubbed = F.col(text_col)
+    for cat in PII_ORDER:
+        out = out.withColumn(
+            f"{cat}_n",
+            F.size(F.regexp_extract_all(text_col, F.lit(PII_PATTERNS[cat]), F.lit(0))
+                   ).cast("long"),
+        )
+    for cat in PII_ORDER:
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[cat], f"<{cat.upper()}>")
+    return out.withColumn(text_col, scrubbed)
+
+
+def pii_scrub_sql(text_col: str = "text") -> str:
+    """DuckDB twin: the count columns + scrubbed text expression list
+    (append after the id columns in a SELECT)."""
+    counts = ",\n".join(
+        f"CAST(len(regexp_extract_all({text_col}, "
+        f"'{PII_PATTERNS[cat]}')) AS BIGINT) AS {cat}_n"
+        for cat in PII_ORDER
+    )
+    scrub = text_col
+    for cat in PII_ORDER:
+        scrub = (
+            f"regexp_replace({scrub}, '{PII_PATTERNS[cat]}', "
+            f"'<{cat.upper()}>', 'g')"
+        )
+    return f"{counts},\n{scrub} AS {text_col}"
