@@ -795,6 +795,17 @@ def q_corpus_curate(spark, sf_dir):
     return curate_documents(CORPUS.load_documents(spark, sf_dir))
 
 
+def q_txt_repetition(spark, sf_dir):
+    """Within-doc repetition/boilerplate signals (functions/text.py
+    repetition_columns): distinct-token / distinct-shingle /
+    distinct-line ratios in basis points; the token array is
+    materialized once before the shingle HOF touches it."""
+    d = CORPUS.load_documents(spark, sf_dir)
+    d = d.withColumn("_tok", TXT.tokens("text"))
+    cols = TXT.repetition_columns("text", tok=F.col("_tok"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
 def q_corpus_decontam(spark, sf_dir):
     """Eval-set decontamination (operators/curate.decontaminate_flags):
     flag training docs sharing ≥ 25 distinct k-word shingles with any
@@ -994,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": q_corpus_pack,
         "corpus_decontam": q_corpus_decontam,
         "pii_scrub": q_pii_scrub,
+        "txt_repetition": q_txt_repetition,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_auto": q_dedup_simhash_auto,
@@ -1398,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": f"""{_T}
             SELECT conv_id, turn_idx, {_pii_sql()}
             FROM transcripts""",
+        "txt_repetition": f"SELECT doc_id, {TXT.repetition_sql()} FROM documents",
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         # auto-banded run at the fixture estimate must equal the pinned

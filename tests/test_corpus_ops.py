@@ -608,3 +608,23 @@ def test_pii_scrub_counts_and_masks(spark):
     assert got[1].text == "mail <EMAIL> and <EMAIL> plus ip <IPV4> and card <LONGNUM>"
     assert (got[2].email_n, got[2].ipv4_n, got[2].longnum_n) == (0, 0, 0)
     assert got[2].text == rows[1][1]
+
+
+def test_repetition_columns_separate_degenerate_text(spark):
+    from vaero_spark.functions.text import repetition_columns, tokens as _tokens
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),      # one token repeated
+        (2, "each word here appears exactly once today ok"), # all distinct
+        (3, "line\nline\nline\nother"),                      # repeated lines
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "_tok", _tokens("text")
+    )
+    cols = repetition_columns("text", tok=F.col("_tok"))
+    got = {r.doc_id: r for r in
+           df.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert got[1].uniq_token_bp == 1250      # 1/8
+    assert got[2].uniq_token_bp == 10000     # all distinct
+    assert got[1].uniq_shingle_bp < got[2].uniq_shingle_bp
+    assert got[3].uniq_line_bp == 5000       # 2 distinct of 4

@@ -68,6 +68,8 @@ CHECKS = {
     # decontamination: the (small) eval shingle set must broadcast into
     # the shingle equi-join — never a sort-merge over the corpus side
     "corpus_decontam": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # repetition signals: one tokenize pass, narrow exprs, shuffle-free
+    "txt_repetition": ([], ["Exchange", "CartesianProduct"]),
     # composed PII masks: narrow per-row regexes (the plan's single
     # Exchange is the transcripts fixture's turn_idx window derivation —
     # see the transcripts NOTE above — not the operator)

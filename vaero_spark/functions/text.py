@@ -544,3 +544,58 @@ def simhash_sql(table: str, id_col: str = "doc_id", col: str = "text") -> str:
         GROUP BY {id_col}
       )
     """
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (boilerplate / degenerate-text signal)
+# ---------------------------------------------------------------------------
+
+def repetition_columns(
+    col: str | Column, k: int = SHINGLE_K, tok: Column | None = None
+) -> dict[str, Column]:
+    """Repetition/boilerplate signals per document — the standard
+    degenerate-text filters of LLM data curation (a doc whose shingles
+    or lines repeat heavily is boilerplate, a crawler loop, or decoding
+    noise): distinct-token, distinct-k-shingle, and distinct-line
+    ratios in basis points (integer-exact for the oracle gate). Low
+    uniq_*_bp = heavy repetition. Narrow exprs; pass ``tok`` as a
+    MATERIALIZED column (module PERFORMANCE RULE: ``shingles`` slices
+    the token array inside a HOF lambda, and an inlined ``split`` there
+    re-evaluates per element — O(n²))."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c) if tok is None else tok
+    sh = shingles(tok, k)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(x) > 0)
+
+    def ratio_bp(arr):
+        return F.floor(
+            F.lit(10000) * F.size(F.array_distinct(arr))
+            / F.greatest(F.size(arr), F.lit(1))
+        ).cast("bigint")
+
+    return {
+        "uniq_token_bp": ratio_bp(tok),
+        "uniq_shingle_bp": ratio_bp(sh),
+        "uniq_line_bp": ratio_bp(lines),
+    }
+
+
+def repetition_sql(col: str = "text", k: int = SHINGLE_K) -> str:
+    """DuckDB twin of :func:`repetition_columns`."""
+    tok = tokens_sql(col)
+    sh = shingles_sql(tok, k)
+    lines = f"list_filter(string_split({col}, chr(10)), x -> len(x) > 0)"
+
+    def ratio(arr, name):
+        return (
+            f"CAST(floor(10000 * len(list_distinct({arr})) "
+            f"/ greatest(len({arr}), 1)) AS BIGINT) AS {name}"
+        )
+
+    return ", ".join(
+        [
+            ratio(tok, "uniq_token_bp"),
+            ratio(sh, "uniq_shingle_bp"),
+            ratio(lines, "uniq_line_bp"),
+        ]
+    )
