@@ -342,7 +342,7 @@ def run_scaling(sf_dir: str) -> dict:
     ratio — RE-ENTRY: any level still unconverged after both groups is
     re-run as a fresh grouped pass (≤ ``SPARK_GRAFT_BENCH_REENTRIES``
     passes, default 2, after a 60 s settle gap), all bounded by
-    ``SPARK_GRAFT_BENCH_BUDGET_SEC`` (default 3000 s) of scaling wall
+    ``SPARK_GRAFT_BENCH_BUDGET_SEC`` (default 2700 s) of scaling wall
     time. At the final cap it falls back to the median of ALL trials
     with converged=false visible in the artifact; every trial carries
     a ~1 s single-process CPU probe (``cpu_probe_mhps``) so churn
@@ -366,7 +366,12 @@ def run_scaling(sf_dir: str) -> dict:
         SCALING_CORES[1]: int(os.environ.get("SPARK_GRAFT_BENCH_MAX_TRIALS_4N", "10")),
     }
     reentries = int(os.environ.get("SPARK_GRAFT_BENCH_REENTRIES", "2"))
-    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000"))
+    # 2700 s: the r4 full run's scaling phase consumed ~2680 s with one
+    # full N re-entry; the budget is checked BEFORE each trial and a
+    # group always finishes its minimum `trials`, so worst-case overrun
+    # is ~3 trial durations — keep headroom under any driver timeout
+    # (the interim suite-only line is the kill insurance either way)
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700"))
     input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
     runs: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
     t_start = time.perf_counter()
