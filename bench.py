@@ -31,10 +31,19 @@ artifact diverged from same-day HEAD runs):
   efficiency bounds what ANY process-parallel workload can achieve on
   this host at that moment — machine-readable host-noise context
   beside the Spark number.
-- The final stdout line is COMPACT (headline + medians + efficiency;
-  the driver's tail-capture window is finite); the per-query map stays
-  in it per the driver contract, full trial detail goes to
+- The final stdout line is COMPACT — UNDER 1 KB (the driver's
+  tail-capture window is finite and has truncated the final line in two
+  rounds; a truncated line records the authoritative artifact as
+  parsed:null). The per-query map is printed as its own INTERIM stdout
+  line before the scaling phase (parseable standalone, and the kill
+  insurance if the scaling phase is cut); full trial detail goes to
   ``BENCH/bench_details_latest.json``.
+- 4N scaling trials run multiple back-to-back pipeline passes
+  (``SPARK_GRAFT_BENCH_PASSES_4N``, default 3) so the measured window
+  is as long as an N trial: short trials sample INSIDE the host's
+  multi-minute churn windows (the r4 driver artifact burned 13 short 4N
+  trials spanning 22.8k-289.9k turns/s without 3 agreeing); long trials
+  average over them.
 
 Internal mode (used by the scaling subprocesses):
 
@@ -178,16 +187,27 @@ def _pipeline_transform(df):
     return df
 
 
-def run_throughput(cores: int, input_dir: str, n_rows: int) -> dict:
+def run_throughput(cores: int, input_dir: str, n_rows: int, passes: int = 1) -> dict:
     """The full pipeline: tap (file stream) → transforms (mask PII,
     parse_regexp, add) → route (error/rest branch fan-out) → exactly-once
     partitioned parquet sinks. Returns sustained turns/sec.
 
-    Sustained = rows / trigger time over epochs AFTER the first: epoch 0
-    absorbs JIT compilation of the codegen'd regex pipeline (measured 5x
-    slower cold — a JVM property, not a pipeline property) plus stream
-    start-up; a real deployment runs hot for days. A batch-mode warm-up
-    of the same plan shapes runs first for the same reason.
+    Sustained = rows / trigger time over epochs AFTER each pass's first:
+    epoch 0 absorbs JIT compilation of the codegen'd regex pipeline
+    (measured 5x slower cold — a JVM property, not a pipeline property)
+    plus stream start-up; a real deployment runs hot for days. A
+    batch-mode warm-up of the same plan shapes runs first for the same
+    reason.
+
+    ``passes`` re-runs the SAME pipeline over the SAME input ``passes``
+    times inside one JVM (fresh checkpoint/sinks per pass), pooling the
+    sustained window across passes. This lengthens the measured window
+    without touching the input or the job shape — the round-4 driver
+    artifact's 4N level burned 13 short trials without 3 agreeing within
+    15% while the ~3x-longer N trials converged; a longer trial averages
+    over the host's multi-minute churn windows instead of sampling
+    inside one. Per-pass sink output is deleted before the next pass so
+    tmpfs never accumulates ``passes`` copies.
     """
     from pyspark.sql import functions as F
     from vaero_spark.sinks.writers import ExactlyOnceParquetSink
@@ -196,16 +216,15 @@ def run_throughput(cores: int, input_dir: str, n_rows: int) -> dict:
 
     spark = _spark(cores, f"vaero_bench_tput_{cores}")
     os.makedirs(BENCH_TMP, exist_ok=True)
-    work = tempfile.mkdtemp(prefix=f"vaero_tput_{cores}_", dir=BENCH_TMP)
+    base = tempfile.mkdtemp(prefix=f"vaero_tput_{cores}_", dir=BENCH_TMP)
 
     # Warm-up: same scan/transform/write code paths on a small slice —
     # compiles the generated code and primes the page cache.
     warm = spark.read.parquet(input_dir).limit(200_000)
     _pipeline_transform(warm).filter(~F.col("text").rlike("error")).write.option(
         "parquet.enable.dictionary", "false"
-    ).mode("overwrite").parquet(os.path.join(work, "_warmup"))
+    ).mode("overwrite").parquet(os.path.join(base, "_warmup"))
 
-    src = transcripts_stream(spark, input_dir, max_files_per_trigger=FILES_PER_TRIGGER)
     # route by annotated quality: the keep/reject split of a
     # training-data ingestion pipeline (threshold splits the corpus
     # ~86/14 on the synthetic transcripts)
@@ -213,36 +232,46 @@ def run_throughput(cores: int, input_dir: str, n_rows: int) -> dict:
         "keep": lambda b: b.filter(F.col("quality_bp") >= 3000),
         "reject": lambda b: b.filter(F.col("quality_bp") < 3000),
     }
-    sinks = {n: ExactlyOnceParquetSink(os.path.join(work, n)) for n in branches}
+    busy_ms = sus_rows = epochs = out_rows = 0
     t0 = time.perf_counter()
-    pipe = run_streaming_fanout(
-        spark,
-        src,
-        branches,
-        sink_factory=lambda name: sinks[name],
-        checkpoint_dir=os.path.join(work, "ckpt"),
-        common_fn=_pipeline_transform,
-    )
-    pipe.process_all()
+    for p in range(passes):
+        work = os.path.join(base, f"pass{p}")
+        src = transcripts_stream(
+            spark, input_dir, max_files_per_trigger=FILES_PER_TRIGGER
+        )
+        sinks = {n: ExactlyOnceParquetSink(os.path.join(work, n)) for n in branches}
+        pipe = run_streaming_fanout(
+            spark,
+            src,
+            branches,
+            sink_factory=lambda name: sinks[name],
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            common_fn=_pipeline_transform,
+        )
+        pipe.process_all()
+        prog = [
+            q if isinstance(q, dict) else json.loads(q if isinstance(q, str) else q.json)
+            for q in pipe.query.recentProgress
+        ]
+        prog = [q for q in prog if q.get("numInputRows", 0) > 0]
+        sustained = prog[1:] if len(prog) > 1 else prog
+        busy_ms += sum(q["durationMs"]["triggerExecution"] for q in sustained)
+        sus_rows += sum(q["numInputRows"] for q in sustained)
+        epochs += len(prog)
+        pipe.stop()
+        out_rows += sum(s.read_committed(spark).count() for s in sinks.values())
+        shutil.rmtree(work, ignore_errors=True)
     elapsed = time.perf_counter() - t0
-    prog = [
-        p if isinstance(p, dict) else json.loads(p if isinstance(p, str) else p.json)
-        for p in pipe.query.recentProgress
-    ]
-    prog = [p for p in prog if p.get("numInputRows", 0) > 0]
-    sustained = prog[1:] if len(prog) > 1 else prog
-    busy_ms = sum(p["durationMs"]["triggerExecution"] for p in sustained)
-    sus_rows = sum(p["numInputRows"] for p in sustained)
-    pipe.stop()
-    out_rows = sum(s.read_committed(spark).count() for s in sinks.values())
-    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
     return {
         "cores": cores,
         "rows": n_rows,
-        "out_rows": out_rows,
-        "epochs": len(prog),
+        "passes": passes,
+        # per-pass parity figure (must equal rows): total committed / passes
+        "out_rows": out_rows // passes,
+        "epochs": epochs,
         "elapsed_sec": round(elapsed, 3),
-        "wall_turns_per_sec": round(n_rows / elapsed, 1),
+        "wall_turns_per_sec": round(n_rows * passes / elapsed, 1),
         "sustained_busy_sec": round(busy_ms / 1000, 3),
         "turns_per_sec": round(sus_rows / (busy_ms / 1000), 1) if busy_ms else None,
     }
@@ -258,15 +287,17 @@ def _cpu_probe() -> float:
     return round(0.4 / (time.perf_counter() - t0), 2)
 
 
-def _one_throughput_run(cores: int, input_dir: str, n_rows: int) -> dict:
+def _one_throughput_run(
+    cores: int, input_dir: str, n_rows: int, passes: int = 1
+) -> dict:
     # flush dirty pages from the previous run's sink writes so its
     # writeback doesn't steal bandwidth from this run's timed window
     subprocess.run("sync", shell=True)
     probe = _cpu_probe()
     proc = subprocess.run(
         [sys.executable, __file__, "--throughput", "--cores", str(cores),
-         "--input", input_dir, "--rows", str(n_rows)],
-        capture_output=True, text=True, timeout=1200,
+         "--input", input_dir, "--rows", str(n_rows), "--passes", str(passes)],
+        capture_output=True, text=True, timeout=1200 + 600 * (passes - 1),
     )
     line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
     try:
@@ -361,9 +392,21 @@ def run_scaling(sf_dir: str) -> dict:
     # window). Up to SPARK_GRAFT_BENCH_REENTRIES re-entry passes per
     # level, all bounded by a scaling-phase wall-clock budget so the
     # driver's subprocess timeout is never at risk.
+    #
+    # Round-5 defense (the r4 driver artifact's 4N level burned 13
+    # SHORT trials without converging while the ~3x-longer N trials
+    # converged): 4N trials now run SPARK_GRAFT_BENCH_PASSES_4N
+    # (default 3) back-to-back pipeline passes per trial — same input,
+    # same job, a ~3x longer measured window that averages over a churn
+    # window instead of sampling inside it. The 4N cap drops 10 → 6
+    # accordingly (same wall budget, longer trials).
+    passes_by_level = {
+        SCALING_CORES[0]: 1,
+        SCALING_CORES[1]: int(os.environ.get("SPARK_GRAFT_BENCH_PASSES_4N", "3")),
+    }
     max_trials = {
         SCALING_CORES[0]: int(os.environ.get("SPARK_GRAFT_BENCH_MAX_TRIALS_N", "8")),
-        SCALING_CORES[1]: int(os.environ.get("SPARK_GRAFT_BENCH_MAX_TRIALS_4N", "10")),
+        SCALING_CORES[1]: int(os.environ.get("SPARK_GRAFT_BENCH_MAX_TRIALS_4N", "6")),
     }
     reentries = int(os.environ.get("SPARK_GRAFT_BENCH_REENTRIES", "2"))
     # 2700 s: the r4 full run's scaling phase consumed ~2680 s with one
@@ -374,6 +417,7 @@ def run_scaling(sf_dir: str) -> dict:
     budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700"))
     input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
     runs: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
+    group_no: dict[int, int] = {c: 0 for c in SCALING_CORES}
     t_start = time.perf_counter()
 
     def _stable(xs: list[float]) -> bool:
@@ -387,10 +431,19 @@ def run_scaling(sf_dir: str) -> dict:
         consecutive agree, the group adds `cap` trials, or the phase
         budget runs out (never mid-minimum: the first `trials` trials
         of a group always run so a re-entry can't end with an
-        un-judgeable window)."""
+        un-judgeable window). Trials are tagged with their group number
+        so the unconverged fallback can median the FINAL group."""
+        group_no[cores] += 1
         added = 0
         while True:
-            runs[cores].append(_one_throughput_run(cores, input_dir, n_rows))
+            runs[cores].append(
+                {
+                    **_one_throughput_run(
+                        cores, input_dir, n_rows, passes_by_level[cores]
+                    ),
+                    "group": group_no[cores],
+                }
+            )
             added += 1
             if _stable(_vals(cores)[-trials:]) or added >= cap:
                 return
@@ -418,18 +471,33 @@ def run_scaling(sf_dir: str) -> dict:
         if not ok:
             return {"error": runs[cores][-1].get("error", "all trials failed")}
         vals = [r["turns_per_sec"] for r in ok]
-        window = vals[-trials:] if _stable(vals[-trials:]) else vals
+        converged = _stable(vals[-trials:])
+        if converged:
+            window, estimator = vals[-trials:], "stable_window_median"
+        else:
+            # Fallback (VERDICT r4 #1b): median of the FINAL re-entry
+            # group — the freshest grouped pass, minutes past the
+            # earlier weather — rather than a median over ALL trials
+            # (which mixes every churn window sampled along the way).
+            last = [
+                r["turns_per_sec"]
+                for r in ok
+                if r.get("group") == group_no[cores]
+            ]
+            window = last if len(last) >= 2 else vals
+            estimator = "final_group_median_unconverged"
         med = _median(window)
         # representative trial = the one closest to the median (its
         # epoch/row detail describes a typical run, not an outlier)
         rep = min(ok, key=lambda r: abs(r["turns_per_sec"] - med))
         return {
             **rep,
-            "turns_per_sec": med,  # headline = median of the stable window
+            "turns_per_sec": med,  # headline = median of the window
             "all_trials_turns_per_sec": vals,
             "cpu_probes_mhps": [r.get("cpu_probe_mhps") for r in runs[cores]],
             "stable_window": window,
-            "converged": _stable(vals[-trials:]),
+            "estimator": estimator,
+            "converged": converged,
         }
 
     lo, hi = SCALING_CORES
@@ -560,9 +628,13 @@ def run_scale_ops(sf_dir: str, replicas: int, cores: int) -> dict:
         }
 
     ann_recall = {
-        "hyperplane_default": timed_recall(SIM.cosine_topk_hyperplane),
-        "hyperplane_recall_cfg": timed_recall(
-            SIM.cosine_topk_hyperplane, n_planes=4, n_tables=12
+        # the DEFAULTS are the recall config since round 5 (4 planes x
+        # 12 tables — VERDICT r4 #5: defaults must give useful
+        # neighbors); the old 8x6 precision-oriented setting stays in
+        # the matrix as the other end of the trade
+        "hyperplane_default_recall_cfg": timed_recall(SIM.cosine_topk_hyperplane),
+        "hyperplane_precision_cfg": timed_recall(
+            SIM.cosine_topk_hyperplane, n_planes=8, n_tables=6
         ),
         "ivf_default": timed_recall(SIM.cosine_topk_ivf),
         "ivf_recall_cfg": timed_recall(SIM.cosine_topk_ivf, n_probe=8),
@@ -595,6 +667,9 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--input", type=str, default=None)
     ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--passes", type=int, default=1,
+                    help="pipeline passes per --throughput trial (longer "
+                         "trials average over host churn windows)")
     ap.add_argument("--no-scaling", action="store_true")
     ap.add_argument("--scaling-only", action="store_true",
                     help="skip the query suite; run just the scaling evidence")
@@ -603,7 +678,9 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.throughput:
-        print(json.dumps(run_throughput(args.cores, args.input, args.rows)))
+        print(json.dumps(
+            run_throughput(args.cores, args.input, args.rows, args.passes)
+        ))
         return
     if args.scale_ops:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
@@ -666,14 +743,27 @@ def main() -> None:
     with open(DETAILS_PATH, "w") as f:
         json.dump(detail, f, indent=1)
 
+    # FINAL LINE SIZE BUDGET: < 1 KB (VERDICT r4 #1a). The driver's
+    # tail capture is finite and has now truncated the final line TWICE
+    # (r2: full trial detail; r4: the 60-entry per-query map + 13
+    # re-entry trials) — each time recording the authoritative artifact
+    # as parsed:null. The per-query map therefore lives in the INTERIM
+    # stdout line (printed above, parseable on its own) and in the
+    # details file; the final line carries only the headline, the
+    # scaling medians with their STABLE WINDOWS (never the full trial
+    # lists — those are in the details file too), and pointers.
     out = {
-        "metric": "query suite wall sec; turns/sec medians at N/4N cores in scaling",
+        "metric": "query suite wall sec; turns/sec medians at N/4N cores in "
+                  "scaling (per-query map: interim stdout line + details file)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "n_queries": len(timings),
         "sf": sf,
         "cores": cpus,
         "total_wall_sec": total,
+        "queries_detail": os.path.relpath(
+            DETAILS_PATH, os.path.dirname(os.path.abspath(__file__))
+        ),
     }
     if scaling is not None:
         lo, hi = SCALING_CORES
@@ -685,10 +775,15 @@ def main() -> None:
             "turns_per_sec_n": b_lo.get("turns_per_sec"),
             "turns_per_sec_4n": b_hi.get("turns_per_sec"),
             "efficiency": scaling.get("scaling_efficiency"),
-            "estimator": "stable_window_median",
+            "estimator": [b_lo.get("estimator"), b_hi.get("estimator")],
             "converged": [b_lo.get("converged"), b_hi.get("converged")],
-            "trials_n": b_lo.get("all_trials_turns_per_sec"),
-            "trials_4n": b_hi.get("all_trials_turns_per_sec"),
+            "window_n": b_lo.get("stable_window"),
+            "window_4n": b_hi.get("stable_window"),
+            "trials_run": [
+                len(b_lo.get("all_trials_turns_per_sec") or []),
+                len(b_hi.get("all_trials_turns_per_sec") or []),
+            ],
+            "passes_4n": b_hi.get("passes"),
             "in_rows": scaling.get("input_rows"),
             "out_rows": b_hi.get("out_rows"),
             "turns_per_sec_32": sup.get("turns_per_sec"),
@@ -700,9 +795,20 @@ def main() -> None:
             # the ratio reads Spark's scaling with the host's own
             # degradation factored out (raw stays the headline)
             "efficiency_host_normalized": scaling.get("efficiency_host_normalized"),
-            "details": os.path.relpath(DETAILS_PATH, os.path.dirname(os.path.abspath(__file__))),
         }
-    print(json.dumps(out))
+        # an unconverged fallback window can be long (all trials);
+        # clamp to the newest `trials`-sized slice to hold the budget
+        for wk in ("window_n", "window_4n"):
+            w = out["scaling"].get(wk)
+            if isinstance(w, list) and len(w) > 5:
+                out["scaling"][wk] = w[-5:]
+    line = json.dumps(out)
+    if len(line) >= 1024:  # hold the budget by shedding detail, never by dying
+        for k in ("window_n", "window_4n", "estimator"):
+            out.get("scaling", {}).pop(k, None)
+        out["truncated"] = True
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

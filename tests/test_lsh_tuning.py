@@ -61,6 +61,79 @@ def test_occupancy_target_is_the_knob():
     assert auto_band_bits(10**6, min_bits=8, target_occupancy=1)[1] == 32
 
 
+def test_wide_band_key_build_no_overflow(spark):
+    """ADVICE r4 (medium): ``auto_band_bits`` picks 2×32-bit bands above
+    ~7e7 docs, where key = band_idx·2^32 + pattern overflows int32 —
+    under Spark 4's default ANSI mode the old INT cast threw
+    CAST_OVERFLOW at exactly the scales the auto-sizing exists for (and
+    with ANSI off it would silently merge band keyspaces). Keys are
+    BIGINT now; build them FOR REAL at (2, 32) in both engines against
+    a pure-Python reference."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from vaero_spark.operators.similarity import (
+        sign_band_keys_from_quant,
+        sign_band_keys_sql,
+    )
+
+    vecs = {
+        1: [1] * 64,                                   # max pattern per band
+        2: [(1 if i % 2 == 0 else -1) for i in range(64)],
+        3: [-1] * 32 + [1] * 32,                       # only band 1 all-set
+    }
+
+    def ref_keys(qv, bands=2, bits=32):
+        out = []
+        for b in range(bands):
+            k = b * (1 << bits)
+            for p in range(bits):
+                if qv[b * bits + p] > 0:
+                    k += 1 << p
+            out.append(k)
+        return out
+
+    expected = sorted((vid, k) for vid, qv in vecs.items() for k in ref_keys(qv))
+    assert max(k for _, k in expected) > 2**31 - 1  # really in the overflow regime
+
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, qv array<bigint>"
+    )
+    got_spark = sorted(
+        (r.vec_id, r.bk)
+        for r in df.select(
+            "vec_id", F.explode(sign_band_keys_from_quant("qv", 2, 32)).alias("bk")
+        ).collect()
+    )
+    assert got_spark == expected
+
+    values = ", ".join(f"({vid}, {qv}::BIGINT[])" for vid, qv in vecs.items())
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, unnest({sign_band_keys_sql('qv', 2, 32)}) AS bk "
+        f"FROM (VALUES {values}) t(vec_id, qv)"
+    ).fetchall()
+    assert sorted(rows) == expected
+
+
+def test_bucketed_ann_executes_at_auto_wide_bands(spark):
+    """End-to-end: the n_estimate path that auto-sizes to (2, 32) must
+    execute (it crashed on the int32 key build) and still retrieve an
+    exact duplicate, which collides in every band by construction."""
+    from vaero_spark.operators.similarity import cosine_topk_bucketed
+
+    base = [
+        (i, [float(((i >> j) & 1) * 2 - 1) for j in range(64)]) for i in range(8)
+    ]
+    dup = (100, base[1][1])  # exact duplicate of vec 1
+    emb = spark.createDataFrame(
+        base + [dup], "vec_id long, embedding array<double>"
+    )
+    out = cosine_topk_bucketed(
+        emb, emb.filter("vec_id = 100"), k=2, n_estimate=10**8
+    ).collect()
+    assert 1 in {r.neighbor_id for r in out}
+
+
 def test_ivf_and_hyperplane_params_scale():
     from vaero_spark.operators.similarity import (
         hyperplane_params_for,

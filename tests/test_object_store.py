@@ -87,6 +87,68 @@ def test_source_polls_only_new_and_changed_versions(tmp_path):
     assert len(spools) == 3  # a.v1, b.v1, a.v2 — distinct spool files
 
 
+def test_redelivered_identical_object_is_not_reingested(tmp_path):
+    """Content-based versioning (ADVICE r4): the sink's idempotent epoch
+    re-delivery rewrites an object with byte-identical content — that
+    bumps mtime (os.replace / S3 LastModified) but NOT the content ETag,
+    so the paired source must skip it. Under the old (size, mtime)
+    versioning every re-delivery duplicated the whole object's events
+    downstream."""
+    import time as _time
+
+    store = _CountingStore(str(tmp_path / "bucket"))
+    src = ObjectLineSource(
+        store=store,
+        prefix="",
+        spool_dir=str(tmp_path / "spool"),
+        seen_path=str(tmp_path / "seen.json"),
+    )
+    _put_lines(store, "a.jsonl", _mk_rows(0, 4))
+    assert src.poll() == 1
+    # re-deliver byte-identical content; ensure the mtime really moves
+    data = store.get_object("a.jsonl")
+    _time.sleep(0.01)
+    store.put_object("a.jsonl", data)
+    old_info = store.list_objects("")[0]
+    assert src.poll() == 0  # same content version → skipped
+    assert len(os.listdir(tmp_path / "spool")) == 1
+    # sanity: the listing did observe a NEW mtime but the SAME etag
+    new_info = store.list_objects("")[0]
+    assert new_info.mtime_ns == old_info.mtime_ns and new_info.etag == old_info.etag
+
+
+def test_object_version_prefers_etag_falls_back_to_mtime():
+    """Stores whose listing carries no content version still get
+    change detection (the documented mtime fallback)."""
+    with_etag = ObjectInfo("k", 10, 111, etag="abc")
+    without = ObjectInfo("k", 10, 111)
+    assert with_etag.version == [10, "abc"]
+    assert without.version == [10, 111]
+    # an mtime-only bump is invisible under etag versioning...
+    assert ObjectInfo("k", 10, 222, etag="abc").version == with_etag.version
+    # ...but IS a new version under the fallback
+    assert ObjectInfo("k", 10, 222).version != without.version
+
+
+def test_sink_rewrite_is_byte_identical(spark, tmp_path):
+    """Sorted lines per object: a shuffle re-run may permute partition-
+    internal row order, so without sorting a re-delivered object could
+    carry the same rows in different byte order — a phantom new version
+    under content ETags."""
+    store = LocalDirObjectStore(str(tmp_path / "bucket"))
+    sink = ObjectLineSink(store=store, prefix_format="yyyy/MM/dd", ts_col="ts")
+    df = spark.createDataFrame(
+        [(i, f"m{i}", "2024-03-01T10:00:00") for i in range(20)],
+        ["event_id", "msg", "raw_ts"],
+    ).withColumn("ts", F.to_timestamp("raw_ts")).drop("raw_ts")
+    sink.write(df, epoch_id=3)
+    before = {o.key: store.get_object(o.key) for o in store.list_objects("")}
+    # re-deliver from a differently-ordered frame (simulates re-run order)
+    sink.write(df.orderBy(F.col("event_id").desc()).coalesce(1).repartition(4), 3)
+    after = {o.key: store.get_object(o.key) for o in store.list_objects("")}
+    assert after == before  # byte-identical, not just row-set-identical
+
+
 def test_source_crash_between_spool_and_seen_never_refetches(tmp_path):
     store = _CountingStore(str(tmp_path / "bucket"))
     src = ObjectLineSource(

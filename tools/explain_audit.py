@@ -55,9 +55,11 @@ CHECKS = {
     # curation gate: narrow projection + filter over one tokenize pass —
     # strictly shuffle-free
     "corpus_curate": ([], ["Exchange", "CartesianProduct"]),
-    # kept-corpus manifest: the drop-list side must be BROADCAST into a
-    # left-anti join (never a sort-merge anti over the full corpus)
-    "dedup_keep": (["BroadcastHashJoin", "LeftAnti"], ["SortMergeJoin", "CartesianProduct"]),
+    # kept-corpus manifest: a LeftAnti join with NO forced broadcast —
+    # the drop-list is corpus-sized at real near-dup rates (10¹¹ ids at
+    # 10¹² docs), so the strategy is AQE's call: broadcast when small
+    # (the fixture case), shuffle when not. Only a cartesian is wrong.
+    "dedup_keep": (["LeftAnti"], ["CartesianProduct"]),
     # object-store ingestion replay: a spool scan, nothing else
     "s3_ingest": ([], ["Exchange", "CartesianProduct"]),
     # per-stratum hash sample: a pure filter, shuffle-free

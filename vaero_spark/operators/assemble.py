@@ -164,8 +164,12 @@ def pack_sequences_sql(
 
     return f"""
     sized AS (
+      -- ((x % n) + n) % n == Spark's pmod: DuckDB's bare % follows the
+      -- dividend's sign, so a negative doc_id would land in a different
+      -- shard across engines (fixture ids are non-negative, but the
+      -- twin must match pmod for ANY input)
       SELECT {id_col} AS doc_id,
-             CAST({id_col} % {n_shards} AS INTEGER) AS shard,
+             CAST((({id_col} % {n_shards}) + {n_shards}) % {n_shards} AS INTEGER) AS shard,
              CAST(len({tokens_sql(text_col)}) AS BIGINT) AS n_tokens
       FROM {table}),
     ordered AS (

@@ -14,8 +14,11 @@ construct is the per-event ``filter_regexp`` drop,
 one tokenize pass (shuffle-free, whole-stage codegen — the module
 PERFORMANCE RULE: tokenize ONCE into a column, never per-expression);
 ``neardup_keep`` is the MinHash+LSH cluster pipeline plus ONE left-anti
-join on doc_id (broadcast-able: the drop-list is cluster members minus
-canonicals, a tiny fraction of any real corpus).
+join on doc_id. The join strategy is deliberately left to AQE: web
+corpora run 20-50% near-dup, so at 10¹² docs the drop-list is ~10¹¹
+ids — far past any broadcast threshold — and a forced broadcast hint
+would OOM at exactly the scale the op exists for; AQE still broadcasts
+it when the runtime size is small (the fixture case).
 """
 
 from __future__ import annotations
@@ -60,20 +63,31 @@ def neardup_keep(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard_pct: int = 50,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Apply the near-dup clustering decision: every document that is a
     NON-CANONICAL member of a near-dup cluster (``doc_id != cluster_id``
     in :func:`~vaero_spark.operators.dedup.neardup_clusters`) is
     dropped; canonical keepers and non-participants survive. Returns
-    (id, text_md5) — the kept corpus as a compact manifest."""
-    from vaero_spark.operators.dedup import neardup_clusters
+    (id, text_md5) — the kept corpus as a compact manifest.
 
-    drop = (
-        neardup_clusters(df, id_col, text_col, min_jaccard_pct)
-        .filter(F.col("doc_id") != F.col("cluster_id"))
-        .select(F.col("doc_id").alias(id_col))
+    Pass ``clusters`` (a precomputed (doc_id, cluster_id) table) to
+    reuse an existing clustering instead of rebuilding the MinHash+LSH
+    pipeline — the production path computes clusters once and feeds both
+    the analytics and the keep decision; the gate query keeps its
+    independent rebuild (gate queries share no caches by design).
+
+    No broadcast hint on the drop-list: at real near-dup rates it is
+    corpus-sized and must be allowed to shuffle (module docstring); AQE
+    broadcasts it when its runtime size permits."""
+    if clusters is None:
+        from vaero_spark.operators.dedup import neardup_clusters
+
+        clusters = neardup_clusters(df, id_col, text_col, min_jaccard_pct)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti").select(
+    return df.join(drop, id_col, "left_anti").select(
         id_col, F.md5(text_col).alias("text_md5")
     )
 

@@ -215,30 +215,40 @@ def sign_band_keys_from_quant(
     vector: key = band_idx·2^bits + sign-bit pattern of that band's
     coordinates. Sign is preserved by floor-quantization for |x| ≥ 1e-6;
     using the same source on both engines keeps boundary cases
-    identical. Exact duplicates collide in every band by construction."""
+    identical. Exact duplicates collide in every band by construction.
+
+    Keys are BIGINT: ``auto_band_bits`` picks 2×32-bit bands for corpus
+    estimates ≳7e7 (``functions/lsh_tuning.py``), and at bits=32 the key
+    ``band_idx·2^32 + pattern`` overflows int32 — under Spark 4's ANSI
+    mode an int cast then throws CAST_OVERFLOW at exactly the scales the
+    auto-sizing exists for (and with ANSI off it would silently merge
+    band keyspaces). Mirrored in :func:`sign_band_keys_sql`; pinned by
+    ``tests/test_lsh_tuning.py``'s wide-band key-build test."""
     c = F.col(qvec_col)
     keys = []
     for b in range(bands):
-        out = F.lit(b * (1 << bits))
+        out = F.lit(b * (1 << bits)).cast("bigint")
         for p in range(bits):
             out = out + F.when(
-                F.element_at(c, b * bits + p + 1) > 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
-        keys.append(out.cast("int"))
+                F.element_at(c, b * bits + p + 1) > 0, F.lit(1 << p).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        keys.append(out.cast("bigint"))
     return F.array(*keys)
 
 
 def sign_band_keys_sql(
     qvec: str, bands: int = SIGN_BANDS, bits: int = SIGN_BAND_BITS
 ) -> str:
-    """DuckDB twin of :func:`sign_band_keys_from_quant` (an int list)."""
+    """DuckDB twin of :func:`sign_band_keys_from_quant` (a BIGINT list —
+    see the Spark side for why int32 overflows at auto-sized 32-bit
+    bands)."""
     keys = []
     for b in range(bands):
         terms = " + ".join(
             f"CASE WHEN ({qvec})[{b * bits + p + 1}] > 0 THEN {1 << p} ELSE 0 END"
             for p in range(bits)
         )
-        keys.append(f"CAST({b * (1 << bits)} + {terms} AS INTEGER)")
+        keys.append(f"CAST({b * (1 << bits)} + {terms} AS BIGINT)")
     return "[" + ", ".join(keys) + "]"
 
 
@@ -373,13 +383,22 @@ def cosine_topk_hyperplane(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
-    n_tables: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 12,
     seed: int = 42,
     dim: int = 64,
     n_estimate: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN (production path, Spark-only).
+
+    Defaults are the RECALL-oriented config (4 planes × 12 tables):
+    measured recall@5 on the diffuse bench corpus is 0.89 here vs 0.20
+    at the old precision-oriented 8×6 (``BENCH/scale_ops_r4.json``) — a
+    user calling with defaults should get useful neighbors, not minimal
+    candidate counts. 4 planes means only 16 buckets/table, so for any
+    real corpus pass ``n_estimate``: :func:`hyperplane_params_for`
+    widens planes with log2(N) (bounded bucket occupancy) while keeping
+    the 12-table recall multiplicity.
 
     Standard multi-table LSH (Indyk–Motwani shape): ``n_tables``
     independent hash tables, each hashing a vector to the sign pattern

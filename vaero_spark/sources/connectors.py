@@ -30,10 +30,12 @@ Documented divergences from the reference services (sandbox has no
 network): event timestamps are expected in the connector's canonical
 ``%Y-%m-%dT%H:%M:%S.%f`` form (production would normalize RFC-3339
 zone suffixes first). The google preset polls ONE configured app per
-source by default; pass ``apps=[...]`` for the reference's per-poll
-app round-robin (:class:`GoogleWorkspaceMultiAppSource` — one isolated
-cursor per app, exactly like the reference's app-keyed cursor dict,
-``source_google_workspace.py:78-81,196-207``).
+source by default; pass ``apps=[...]`` for the reference's multi-app
+drain (:class:`GoogleWorkspaceMultiAppSource` — one isolated cursor
+per app exactly like the reference's app-keyed cursor dict, and a FULL
+app rotation per poll interval exactly like the reference's
+``__FLAG__`` continuation drain, ``source_google_workspace.py:78-81,
+196-207``).
 
 Auth tokens are read from the ``args`` mapping **at request time**, not
 captured at build time, so the secrets resolver's per-poll in-place
@@ -163,10 +165,14 @@ def build_google_workspace_fetch_page(args: dict) -> Callable:
 
 
 class GoogleWorkspaceMultiAppSource:
-    """Reference-parity multi-app round-robin
-    (``source_google_workspace.py:78-81,196-207``): ONE source cycles a
-    configured applications list, polling one app per cycle, with each
-    app's cursor isolated (the reference keys its cursor dict by app
+    """Reference-parity multi-app polling
+    (``source_google_workspace.py:78-81,196-207``): the reference drains
+    ALL configured applications within a single read cycle (its
+    ``__FLAG__`` continuation token advances ``_configured_app_idx``
+    until the app list wraps), so one poll interval covers every app —
+    per-app latency does NOT scale with ``len(apps)``. Mirrored here:
+    each daemon tick runs a FULL rotation (:meth:`poll_cycle`). Each
+    app's cursor is isolated (the reference keys its cursor dict by app
     name; here each app owns a full ``PaginatedApiSource`` — cursor
     file, crash-replay guard, late gate — sharing one spool directory
     via per-app filename prefixes, so the pipeline still reads ONE
@@ -179,14 +185,15 @@ class GoogleWorkspaceMultiAppSource:
         self._idx = 0
 
     def poll(self) -> int:
-        """Poll the NEXT app in rotation (one app per cycle, like the
-        reference's ``_configured_app_idx`` advance)."""
+        """Poll the NEXT app in rotation and advance it (the single-app
+        step; a full read cycle is :meth:`poll_cycle`)."""
         src = self.sources[self._idx]
         self._idx = (self._idx + 1) % len(self.sources)
         return src.poll()
 
     def poll_cycle(self) -> int:
-        """One full rotation over every app (tests / catch-up)."""
+        """One full rotation over every app — the reference's per-cycle
+        drain unit."""
         return sum(self.poll() for _ in self.sources)
 
     def check_health(self) -> None:
@@ -204,34 +211,51 @@ class GoogleWorkspaceMultiAppSource:
         self.check_health()
         return self.sources[0].stream(spark, payload_schema)
 
-    def start_polling(self, interval: float) -> "GoogleWorkspaceMultiAppSource":
-        """Same guarded daemon-loop contract as the single source: each
-        tick advances the rotation by one app; a permanent error on any
-        app halts the loop and surfaces via check_health."""
+    def _poll_next_guarded(self) -> bool:
+        """One guarded rotation step (shared by the daemon loop): poll
+        the next app via :meth:`poll`, absorbing transient errors per
+        app. Returns False on a permanent error (halt the loop — the
+        error surfaces via check_health / poll_error)."""
         import logging
+
+        src = self.sources[self._idx]  # poll() advances _idx
+        try:
+            self.poll()
+            src.consecutive_failures = 0
+            src.last_transient_error = None
+        except PermanentApiError as exc:
+            src.poll_error = exc
+            logging.getLogger(__name__).error(
+                "polling halted (permanent API error): %s", exc
+            )
+            return False
+        except Exception as exc:  # noqa: BLE001
+            src.consecutive_failures += 1
+            src.last_transient_error = exc
+            logging.getLogger(__name__).warning(
+                "poll failed, retrying next interval: %s", exc
+            )
+        return True
+
+    def start_polling(self, interval: float) -> "GoogleWorkspaceMultiAppSource":
+        """Same guarded daemon-loop contract as the single source, but
+        each tick drains a FULL app rotation (reference parity — the
+        class docstring's per-cycle drain; one slow/failing app delays,
+        never starves, the others within the tick). A permanent error on
+        any app halts the loop and surfaces via check_health."""
         import threading
         import time as _time
 
         self._stop_evt = threading.Event()
-        log = logging.getLogger(__name__)
 
         def loop() -> None:
             while not self._stop_evt.is_set():
                 started = _time.time()
-                src = self.sources[self._idx]
-                self._idx = (self._idx + 1) % len(self.sources)
-                try:
-                    src.poll()
-                    src.consecutive_failures = 0
-                    src.last_transient_error = None
-                except PermanentApiError as exc:
-                    src.poll_error = exc
-                    log.error("polling halted (permanent API error): %s", exc)
-                    return
-                except Exception as exc:  # noqa: BLE001
-                    src.consecutive_failures += 1
-                    src.last_transient_error = exc
-                    log.warning("poll failed, retrying next interval: %s", exc)
+                for _ in self.sources:
+                    if not self._poll_next_guarded():
+                        return
+                    if self._stop_evt.is_set():
+                        return
                 remaining = interval - (_time.time() - started)
                 if remaining > 0:
                     self._stop_evt.wait(remaining)

@@ -24,19 +24,27 @@ over ``s3a://`` (``sinks/fs.py``); this module is the reference-parity
 Documented divergences (each an upgrade over the reference, flagged):
 
 - The source keeps a persistent **seen-set** keyed by (key, size,
-  mtime) — the reference re-emits every object on every poll, which
+  etag) — the reference re-emits every object on every poll, which
   duplicates the entire prefix per cycle; a changed object (new
-  size/mtime) is re-ingested as a new version.
+  size/etag) is re-ingested as a new version. Versioning is by CONTENT
+  (the listing's ETag — S3 ListObjectsV2 returns it for free), not
+  mtime: the sink's idempotent epoch re-delivery overwrites an object
+  with byte-identical content, which bumps LastModified but not the
+  ETag, so a paired source correctly skips it instead of duplicating
+  every event downstream (mtime is the fallback only for stores whose
+  listing carries no ETag).
 - Go's ``strings.Split(body, "\\n")`` emits an empty string for a
   trailing newline; empty lines are dropped here (an empty string is
   not an event).
 - The sink PUT runs **executor-side** per partition (the DataFrame is
   repartitioned by prefix first — tasks × prefixes tiny-object storms
   are the measured failure mode, see CLAUDE.md), with deterministic
-  keys ``(epoch, partition)`` so epoch re-delivery overwrites the same
-  object with identical content: a single-object PUT is atomic-visible,
-  making the re-delivery idempotent (same contract as the parquet
-  sink's commit markers).
+  keys ``(epoch, partition)`` AND lines sorted within each object, so
+  epoch re-delivery overwrites the same object with BYTE-identical
+  content even when a shuffle re-run permutes partition-internal row
+  order: a single-object PUT is atomic-visible, making the re-delivery
+  idempotent (same contract as the parquet sink's commit markers) and
+  ETag-stable (so the paired source never re-ingests it).
 
 Exactly-once ingestion: one spool file per object **version**, named
 deterministically from (key, size, mtime). A crash between spool-write
@@ -60,11 +68,24 @@ from pyspark.sql import DataFrame
 
 @dataclass(frozen=True)
 class ObjectInfo:
-    """One listing entry (the ``Contents`` element of ListObjectsV2)."""
+    """One listing entry (the ``Contents`` element of ListObjectsV2).
+
+    ``etag`` is the content version from the listing (S3 returns it in
+    ListObjectsV2 at no extra cost; any opaque content-derived string
+    works). Stores whose listing has no content version leave it empty
+    and the source falls back to mtime-based versioning."""
 
     key: str
     size: int
     mtime_ns: int
+    etag: str = ""
+
+    @property
+    def version(self) -> list:
+        """The change-detection version: content-based when available
+        (module docstring: mtime false-positives on idempotent
+        re-delivery), else (size, mtime)."""
+        return [self.size, self.etag] if self.etag else [self.size, self.mtime_ns]
 
 
 class ListingObjectStore(Protocol):
@@ -106,7 +127,13 @@ class LocalDirObjectStore:
                 if not key.startswith(prefix):
                     continue
                 st = os.stat(full)
-                out.append(ObjectInfo(key, st.st_size, st.st_mtime_ns))
+                # content ETag, like S3's listing (md5 of the bytes —
+                # the fake re-hashes per list, which is O(data) but
+                # test-fake-only; a real S3 client reads the ETag
+                # straight out of the ListObjectsV2 response)
+                with open(full, "rb") as fh:
+                    etag = hashlib.md5(fh.read()).hexdigest()
+                out.append(ObjectInfo(key, st.st_size, st.st_mtime_ns, etag))
         return sorted(out, key=lambda o: o.key)  # S3 lists in key order
 
     def get_object(self, key: str) -> bytes:
@@ -140,8 +167,12 @@ class ObjectLineSource:
     seen_path: str  # JSON registry of ingested object versions
 
     def _spool_name(self, obj: ObjectInfo) -> str:
+        """One spool file per (key, VERSION): the version token is
+        digested so arbitrary ETag formats (quoted, multipart `-N`
+        suffixed) stay filesystem-safe."""
         digest = hashlib.sha1(obj.key.encode()).hexdigest()[:16]
-        return f"obj-{digest}-{obj.size}-{obj.mtime_ns}.jsonl"
+        vtok = hashlib.sha1(repr(obj.version).encode()).hexdigest()[:12]
+        return f"obj-{digest}-{obj.size}-{vtok}.jsonl"
 
     def _load_seen(self) -> dict:
         try:
@@ -164,7 +195,7 @@ class ObjectLineSource:
         os.makedirs(self.spool_dir, exist_ok=True)
         new = 0
         for obj in self.store.list_objects(self.prefix):
-            version = [obj.size, obj.mtime_ns]
+            version = obj.version  # content-based when the listing has an ETag
             if seen.get(obj.key) == version:
                 continue
             spool = os.path.join(self.spool_dir, self._spool_name(obj))
@@ -246,8 +277,11 @@ class ObjectLineSink:
     adapter: rows → JSON lines (micro-pinned timestamp options), grouped
     by a strftime prefix of the event time, repartitioned BY PREFIX
     (CLAUDE.md: tasks × prefixes tiny-file storms), then PUT from the
-    executors with deterministic ``(epoch, partition)`` keys so epoch
-    re-delivery overwrites identically (idempotent)."""
+    executors with deterministic ``(epoch, partition)`` keys AND sorted
+    lines per object — partition-internal row order is not stable across
+    shuffle re-runs, so sorting is what makes epoch re-delivery
+    BYTE-identical (idempotent overwrite, stable ETag; the paired
+    source's content versioning depends on it)."""
 
     store: ListingObjectStore
     prefix_format: str = "yyyy/MM/dd"  # Java pattern (strftime_to_java)
@@ -284,9 +318,10 @@ class ObjectLineSink:
 
                 pid = TaskContext.get().partitionId()
             for prefix, ev in by_prefix.items():
+                # sorted: byte-identical bytes on re-delivery (class doc)
                 store.put_object(
                     f"{prefix}/part-{epoch_id:010d}-{pid:05d}.log",
-                    "\n".join(ev).encode(),
+                    "\n".join(sorted(ev)).encode(),
                 )
             yield len(by_prefix)
 
