@@ -465,6 +465,85 @@ def test_neardup_keep_accepts_precomputed_clusters(spark, docs_nd):
     assert via_precomputed == via_rebuild
 
 
+def test_strip_boilerplate_lines_semantics(spark):
+    """Lines in > max_line_df distinct docs are removed everywhere;
+    survivors keep their original order; an all-boilerplate doc stays
+    in the output with an empty cleaned text."""
+    import hashlib
+
+    from vaero_spark.operators.curate import strip_boilerplate_lines
+
+    footer = "copyright corp"
+    docs = [
+        (1, f"alpha\n{footer}\nbravo"),
+        (2, f"charlie\n{footer}"),
+        (3, f"{footer}\ndelta\necho"),
+        (4, footer),  # nothing but boilerplate
+    ]
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate_lines(
+            spark.createDataFrame(docs, ["doc_id", "text"]), max_line_df=3
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].n_lines, out[1].n_removed) == (3, 1)
+    assert out[1].clean_md5 == md5("alpha\nbravo")  # order preserved
+    assert out[3].clean_md5 == md5("delta\necho")
+    assert (out[4].n_lines, out[4].n_removed) == (1, 1)
+    assert out[4].clean_md5 == md5("")  # row survives, text emptied
+    # below the threshold nothing is removed (footer df == 4 > 3; at 4 it stays)
+    out4 = strip_boilerplate_lines(
+        spark.createDataFrame(docs, ["doc_id", "text"]), max_line_df=4
+    ).collect()
+    assert all(r.n_removed == 0 for r in out4)
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    """Score parity with a pure-Python implementation of the same
+    log-free RSJ-odds BM25, plus ranking sanity: a doc stuffed with a
+    rare term outranks one with a single common term."""
+    from vaero_spark.operators.search import BM25_B, BM25_K1, bm25_topk
+
+    docs = [
+        (0, "needle needle needle haystack"),
+        (1, "haystack haystack haystack haystack haystack straw"),
+        (2, "straw straw haystack"),
+        (3, "needle straw"),
+        (4, "nothing relevant here"),
+    ]
+    terms = ["needle", "straw"]
+    out = bm25_topk(spark.createDataFrame(docs, ["doc_id", "text"]), terms, k=5)
+    got = {r.doc_id: (r.score_e6, r.n_terms, r.rank) for r in out.collect()}
+
+    import math
+
+    toks = {i: t.split() for i, t in docs}
+    n, total = len(docs), sum(len(t) for t in toks.values())
+    avgdl = total / n
+    dfreq = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    exp = {}
+    for i, tk in toks.items():
+        ws = []
+        for t in terms:
+            tf = tk.count(t)
+            if not tf:
+                continue
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            norm = 1.0 - BM25_B + BM25_B * (len(tk) / avgdl)
+            ws.append(
+                math.floor(1e6 * (idf * (tf * (BM25_K1 + 1.0)) / (tf + BM25_K1 * norm)))
+            )
+        if ws:
+            exp[i] = (sum(ws), len(ws))
+    assert {i: v[:2] for i, v in got.items()} == exp
+    ranked = sorted(exp, key=lambda i: (-exp[i][0], i))
+    assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][2])] == ranked
+    assert 4 not in got  # no matching term, no row
+    assert got[3][2] == 1  # both terms, short doc → top rank
+
+
 def test_curate_documents_thresholds(spark):
     """Every kept row satisfies all three gates; rows failing any single
     gate are excluded."""

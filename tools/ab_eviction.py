@@ -1,18 +1,27 @@
 #!/usr/bin/env python
 """A/B the cost of per-key idle-timeout arming in the custom-state ops.
 
-Round 3 added ``setTimeoutTimestamp`` arming (idle-state eviction) to
-``routing_counters`` / ``track_open_sessions`` / ``stateful_dedup``; the
-round-3 driver artifact then showed stream_counters +40% and
-stream_open_sessions +37% vs round 2 — plausibly a host-churn window
-(the same artifact's scaling block was flagged non-converged), but the
-arming is the only new code on that path. This tool answers it with a
-quiet-pass A/B: the SAME gate query, fresh JVM per trial, grouped
-trials, with arming on (production default) vs off
-(``VAERO_DISABLE_IDLE_EVICTION=1`` — the knob exists only for this
-measurement).
+Round 3 added ``_arm_idle_timeout`` (idle-state eviction) to
+``routing_counters`` / ``stateful_dedup`` / ``byte_cap_flush``; the
+round-3 driver artifact then showed stream_counters +40% vs round 2 —
+plausibly a host-churn window, but the arming was the only new code on
+that path. This tool answers it with an ABBA order-balanced A/B: the
+SAME gate query, fresh JVM per trial, with arming on (production
+default) vs off (``VAERO_DISABLE_IDLE_EVICTION=1`` — the knob exists
+only for this measurement).
 
-    python tools/ab_eviction.py                 # full matrix → BENCH/eviction_ab_r4.json
+NEGATIVE CONTROL: ``stream_open_sessions``. Its ``_session_tracker``
+arms its timeout UNCONDITIONALLY — the timeout IS the session-close
+semantics (the time-cap flush), not idle eviction, so the knob cannot
+touch that code path and both variants run byte-identical plans. Any
+armed-vs-noarm difference it reports is BY CONSTRUCTION the host's
+noise floor at measurement time. (Round 4 listed its +8.6% as
+"arming overhead" — a misreading: the knob never touched it, exactly
+like ``stream_dedup``'s equally impossible −10.1% "speedup" the same
+run. The knob-affected query with per-key state of the same shape,
+``stream_counters``, read +0.8%.)
+
+    python tools/ab_eviction.py                 # full matrix → BENCH/eviction_ab_r5.json
     python tools/ab_eviction.py --trial stream_counters armed   # one subprocess trial
 
 All I/O on tmpfs (TMPDIR=/dev/shm) per the bench protocol.
@@ -32,7 +41,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-QUERIES = ("stream_counters", "stream_open_sessions", "stream_dedup")
+QUERIES = ("stream_counters", "stream_dedup")  # knob-affected paths
+CONTROL = "stream_open_sessions"  # knob-untouched (module docstring)
 VARIANTS = ("armed", "noarm")
 TRIALS = 3
 
@@ -102,7 +112,7 @@ def main() -> None:
     # cancel linear drift; per-pass medians stay in the artifact so
     # window shifts are visible.
     results: dict[str, dict] = {}
-    for query in QUERIES:
+    for query in QUERIES + (CONTROL,):
         per_variant: dict[str, list] = {v: [] for v in VARIANTS}
         per_pass: dict[str, dict] = {v: {} for v in VARIANTS}
         for pass_no, order in enumerate((VARIANTS, tuple(reversed(VARIANTS)))):
@@ -121,20 +131,29 @@ def main() -> None:
             for v in VARIANTS
         }
         a, b = (results[query][v]["median_sec"] for v in VARIANTS)
-        results[query]["arming_overhead_pct"] = (
-            round((a - b) / b * 100, 1) if a and b else None
+        delta = round((a - b) / b * 100, 1) if a and b else None
+        key = (
+            "noise_floor_pct" if query == CONTROL else "arming_overhead_pct"
         )
-        print(f"{query}: armed {a}s vs noarm {b}s "
-              f"({results[query]['arming_overhead_pct']}%)", file=sys.stderr)
+        results[query][key] = delta
+        if query == CONTROL:
+            results[query]["control"] = (
+                "knob-untouched path: both variants run identical plans "
+                "(the session-close timeout is semantic, armed "
+                "unconditionally) — this delta IS the noise floor"
+            )
+        print(f"{query}: armed {a}s vs noarm {b}s ({delta}%)", file=sys.stderr)
 
     out = {
         "protocol": f"ABBA order-balanced: 2 passes x {args.trials} fresh-JVM "
                     f"trials per (query, variant), opposite variant order per "
-                    f"pass, local[{args.cores}], tmpfs TMPDIR, pooled median",
+                    f"pass, local[{args.cores}], tmpfs TMPDIR, pooled median; "
+                    f"{CONTROL} is the negative control (knob cannot touch "
+                    f"its plan — its delta reads the noise floor)",
         "sf_dir": sf_dir,
         "results": results,
     }
-    path = REPO / "BENCH" / "eviction_ab_r4.json"
+    path = REPO / "BENCH" / "eviction_ab_r5.json"
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 

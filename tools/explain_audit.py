@@ -76,6 +76,13 @@ CHECKS = {
     # Exchange is the transcripts fixture's turn_idx window derivation —
     # see the transcripts NOTE above — not the operator)
     "pii_scrub": (["Filter|Project"], ["CartesianProduct", "SortMergeJoin"]),
+    # BM25 search: distributed top-k; the one BroadcastNestedLoopJoin is
+    # the 1-row corpus-stats broadcast (intended), never a cartesian or
+    # a sort-merge over the match stream
+    "corpus_bm25": (["TakeOrderedAndProject"], ["CartesianProduct", "SortMergeJoin"]),
+    # line-level boilerplate strip: flagged lines anti-join back with no
+    # forced broadcast (the dedup_keep lesson — AQE decides)
+    "txt_boilerplate": (["LeftAnti"], ["CartesianProduct"]),
 }
 
 

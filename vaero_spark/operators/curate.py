@@ -159,6 +159,96 @@ def decontaminate_sql(
 
 
 # ---------------------------------------------------------------------------
+# line-level boilerplate removal (CCNet/RefinedWeb-style line dedup)
+# ---------------------------------------------------------------------------
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    max_line_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove BOILERPLATE LINES from multi-line documents: a line whose
+    exact text occurs in more than ``max_line_df`` DISTINCT documents
+    (nav menus, footers, cookie banners, export headers) is dropped
+    from every document; surviving lines are re-joined in original
+    order. This is the line-level dedup step of the standard web-corpus
+    pipelines (CCNet / RefinedWeb run exactly this before document
+    dedup) — the line-granular sibling of ``neardup_keep``.
+
+    Output: (id, n_lines, n_removed, clean_md5) — integer/string-exact,
+    one row per input document (a document whose every line is
+    boilerplate survives with an empty cleaned text, so the op never
+    silently drops rows; compose with :func:`curate_documents` to drop
+    now-empty docs).
+
+    100 TB shape: explode lines (corpus-sized, narrow) → one groupBy on
+    the line text for document frequencies (count DISTINCT doc per
+    line) → anti-join the flagged lines back → one groupBy on doc to
+    reassemble. The flagged-line table gets NO broadcast hint — at web
+    scale the boilerplate list is large (the ``dedup_keep`` lesson:
+    AQE broadcasts it when its runtime size permits).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    line_df = (
+        lines.select("_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    boiler = line_df.filter(F.col("line_df") > max_line_df).select("line")
+    kept = lines.join(boiler, "line", "left_anti")
+    # sorted struct array materialized as a column BEFORE the rendering
+    # transform touches it (functions/text.py PERFORMANCE RULE: exprs
+    # inlined into HOF lambdas re-evaluate per element)
+    kept_agg = (
+        kept.groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_k"))
+        .select(
+            "_id",
+            F.array_join(F.transform("_k", lambda s: s["line"]), "\n").alias("_clean"),
+            F.size("_k").cast("long").alias("_n_kept"),
+        )
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(kept_agg, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_md5"),
+    )
+
+
+def strip_boilerplate_sql(
+    lines_cte: str,
+    max_line_df: int = 20,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`strip_boilerplate_lines`. ``lines_cte`` is
+    the name of a CTE with columns (_id, pos, line) — the caller
+    derives it from its document table (split on chr(10) with
+    0-based positions)."""
+    return f"""
+    ldf AS (SELECT line, count(*) AS line_df
+            FROM (SELECT DISTINCT _id, line FROM {lines_cte}) GROUP BY line),
+    kept AS (SELECT l._id, l.pos, l.line
+             FROM {lines_cte} l JOIN ldf USING (line)
+             WHERE line_df <= {max_line_df}),
+    kept_agg AS (SELECT _id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+                        count(*) AS n_kept
+                 FROM kept GROUP BY _id),
+    tot AS (SELECT _id, count(*) AS n_lines FROM {lines_cte} GROUP BY _id)
+    SELECT t._id AS {id_col}, t.n_lines,
+           CAST(t.n_lines - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(k.clean, '')) AS clean_md5
+    FROM tot t LEFT JOIN kept_agg k USING (_id)"""
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing (composed category masks + per-category counts)
 # ---------------------------------------------------------------------------
 

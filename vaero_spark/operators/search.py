@@ -1,0 +1,158 @@
+"""Corpus keyword search: BM25-family ranked retrieval over a document
+table — the inspection/probing tool a training-data pipeline needs
+beside its filters (pull the top documents for a term set to audit what
+a curation gate is keeping, mine contamination candidates by keyword,
+spot-check a 100 TB corpus without exporting it). No reference
+counterpart (the reference's only text predicate is ``filter_regexp``,
+``/root/reference/transform/filter_regexp.go``; SURVEY.md §2.7).
+
+Scoring is BM25 with the RSJ ODDS idf — ``(N − df + 0.5)/(df + 0.5)``
+instead of its logarithm. Rationale: ``ln`` is the one elementary
+function IEEE 754 does NOT require correctly rounded, so a log-based
+score can differ between engines in the last ulp and break the
+bit-exact oracle gate at quantization boundaries; +, −, ×, ÷ are all
+correctly rounded, so a log-free score built from them in a FIXED
+expression order is bit-identical everywhere. The odds ratio is the
+quantity whose log is the classic RSJ weight — per-term ranking order
+is unchanged; only the blend across terms differs from textbook BM25
+(documented trade for exactness).
+
+100 TB shape: one tokenize pass → explode only the terms that match
+the (tiny, broadcast) query term set — the exploded stream is
+|matches|, not |tokens| — one groupBy (doc, term), a broadcast join of
+per-term document frequencies, and a distributed top-k
+(TakeOrderedAndProject). Corpus statistics (N, total token count) come
+from the caller when known (table stats / ingest counters — no extra
+scan) or from one aggregate over the tokenize pass otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vaero_spark.functions.text import tokens, tokens_sql
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _w_e6(tf, df, dl, n_docs, total_dl, k1: float, b: float):
+    """floor(1e6 · odds-idf · saturated-tf) — the exact expression tree
+    mirrored token-for-token by :func:`bm25_sql` (correctly-rounded ops
+    in a fixed order ⇒ bit-identical across engines)."""
+    idf = (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5))
+    avgdl = total_dl / n_docs
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (dl / avgdl)
+    w = idf * (tf * (F.lit(k1) + F.lit(1.0))) / (tf + F.lit(k1) * norm)
+    return F.floor(F.lit(1000000.0) * w).cast("bigint")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
+    total_tokens: int | None = None,
+) -> DataFrame:
+    """Top-``k`` documents for ``terms`` by log-free BM25 (module doc).
+
+    Returns (id, score_e6, n_terms, rank) — score quantized to 1e-6,
+    rank deterministic (score desc, id asc). Pass ``n_docs`` /
+    ``total_tokens`` (known corpus stats) to skip the in-plan corpus
+    aggregate — at scale those numbers come from table metadata, and an
+    extra full scan per query is exactly what the ``n_estimate``
+    pattern elsewhere avoids."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_tok"))
+    exploded = toks.select(
+        "_id", F.size("_tok").cast("long").alias("dl"), F.explode("_tok").alias("term")
+    )
+    matches = exploded.filter(F.col("term").isin(list(terms)))
+    tf = matches.groupBy("_id", "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        matches.select("_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    if n_docs is not None and total_tokens is not None:
+        stats = docs.sparkSession.range(1).select(
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.lit(total_tokens).cast("long").alias("total_dl"),
+        )
+    else:
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("_tok").cast("long")).alias("total_dl"),
+        )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_id",
+            _w_e6(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("n_docs").cast("double"),
+                F.col("total_dl").cast("double"),
+                k1,
+                b,
+            ).alias("w_e6"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.sum("w_e6").alias("score_e6"), F.count(F.lit(1)).alias("n_terms")
+    )
+    # distributed top-k (TakeOrderedAndProject), rank only the survivors
+    top = per_doc.orderBy(F.col("score_e6").desc(), "_id").limit(k)
+    w = Window.orderBy(F.col("score_e6").desc(), F.col("_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        F.col("_id").alias(id_col), "score_e6", "n_terms", "rank"
+    )
+
+
+def bm25_sql(
+    table: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` (in-plan corpus stats form).
+    The ``w_e6`` expression mirrors :func:`_w_e6` token for token."""
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    w_expr = (
+        f"CAST(floor(1000000.0 * ("
+        f"((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        f" / (CAST(df AS DOUBLE) + 0.5))"
+        f" * (CAST(tf AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} *"
+        f" (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE)))))"
+        f")) AS BIGINT)"
+    )
+    return f"""
+    toks AS (SELECT {id_col} AS _id, {tokens_sql(text_col)} AS _tok FROM {table}),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(SUM(len(_tok)) AS BIGINT) AS total_dl FROM toks),
+    m AS (SELECT _id, CAST(len(_tok) AS BIGINT) AS dl, unnest(_tok) AS term
+          FROM toks),
+    mt AS (SELECT * FROM m WHERE term IN ({term_list})),
+    tf AS (SELECT _id, term, dl, count(*) AS tf FROM mt GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(DISTINCT _id) AS df FROM mt GROUP BY term),
+    w AS (SELECT _id, {w_expr} AS w_e6
+          FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+    s AS (SELECT _id, CAST(SUM(w_e6) AS BIGINT) AS score_e6,
+                 count(*) AS n_terms FROM w GROUP BY _id)
+    SELECT _id AS {id_col}, score_e6, n_terms,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, _id) AS INTEGER) AS rank
+    FROM s QUALIFY rank <= {k}"""
