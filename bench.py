@@ -636,8 +636,8 @@ def run_scale_ops(sf_dir: str, replicas: int, cores: int) -> dict:
         "hyperplane_precision_cfg": timed_recall(
             SIM.cosine_topk_hyperplane, n_planes=8, n_tables=6
         ),
-        "ivf_default": timed_recall(SIM.cosine_topk_ivf),
-        "ivf_recall_cfg": timed_recall(SIM.cosine_topk_ivf, n_probe=8),
+        "ivf_default_recall_cfg": timed_recall(SIM.cosine_topk_ivf),
+        "ivf_precision_cfg": timed_recall(SIM.cosine_topk_ivf, n_probe=4),
     }
     brute.unpersist()
 

@@ -140,8 +140,9 @@ def test_ivf_and_hyperplane_params_scale():
         ivf_params_for,
     )
 
-    # sqrt-N centroid rule with bounded probes
-    assert ivf_params_for(256) == (16, 4)          # fixture floor = defaults
+    # sqrt-N centroid rule with bounded probes (probe floor 8 = the
+    # recall-oriented call default, BENCH/scale_ops_r5.json)
+    assert ivf_params_for(256) == (16, 8)          # fixture floor = defaults
     assert ivf_params_for(10**6) == (1000, 64)
     cents, probe = ivf_params_for(10**9)
     assert cents == 31623 and probe == 64          # candidates ~ 64*sqrt(N)
