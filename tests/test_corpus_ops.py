@@ -544,6 +544,43 @@ def test_bm25_topk_matches_python_reference(spark):
     assert got[3][2] == 1  # both terms, short doc → top rank
 
 
+def test_mix_by_budget_exact_prefix(spark):
+    """The kept set per stratum is the greedy prefix of the
+    deterministic hash order: running total ≤ budget, first crossing
+    doc cut, later smaller docs NOT back-filled (prefix, not knapsack);
+    unlisted strata use the default budget."""
+    import hashlib
+
+    from vaero_spark.operators.transforms import mix_by_budget
+
+    docs = [(i, "en" if i % 2 == 0 else "de", "tok " * (i % 7 + 1)) for i in range(40)]
+    out = mix_by_budget(
+        spark.createDataFrame(docs, ["doc_id", "lang", "text"]),
+        {"en": 20},
+        default_budget=9,
+    ).collect()
+
+    order = {}
+    for i, lang, text in docs:
+        order.setdefault(lang, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i, len(text.split()))
+        )
+    expect = {}
+    for lang, rows in order.items():
+        cum, budget = 0, {"en": 20}.get(lang, 9)
+        for _h, i, n in sorted(rows):
+            cum += n
+            if cum > budget:
+                break  # prefix rule: first crossing doc ends the stratum
+            expect[i] = (lang, n, cum)
+    got = {r.doc_id: (r.lang, r.n_tokens, r.cum_tokens) for r in out}
+    assert got == expect
+    assert expect  # the fixture budgets actually bind
+    for lang, budget in (("en", 20), ("de", 9)):
+        kept = [v[2] for v in expect.values() if v[0] == lang]
+        assert kept and max(kept) <= budget
+
+
 def test_curate_documents_thresholds(spark):
     """Every kept row satisfies all three gates; rows failing any single
     gate are excluded."""

@@ -83,6 +83,9 @@ CHECKS = {
     # line-level boilerplate strip: flagged lines anti-join back with no
     # forced broadcast (the dedup_keep lesson — AQE decides)
     "txt_boilerplate": (["LeftAnti"], ["CartesianProduct"]),
+    # exact-budget mixing: the running sum is a window PARTITIONED BY
+    # the stratum (parallel across strata) — never a global sort/window
+    "corpus_mix": (["Window"], ["CartesianProduct"]),
 }
 
 

@@ -145,6 +145,96 @@ def sample_stratified(
     return df.filter(byte_hex < thresh)
 
 
+def mix_by_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-budget corpus MIXING — the step that turns per-domain /
+    per-language mixture weights into a concrete document selection
+    (every LLM pretraining pipeline fixes mixture proportions in
+    tokens, not documents): within each stratum, documents are laid out
+    in a deterministic shuffle order (``md5(id)``, then id) and kept
+    while the running token total stays within the stratum's budget —
+    a greedy prefix; the first document that would cross the budget is
+    cut, as are all after it. Output: (id, stratum, n_tokens,
+    cum_tokens) for kept docs, integer-exact and engine-neutral (the
+    hash order and the running sum are pure functions of the rows).
+
+    Complements :func:`sample_stratified`: that one keeps a RATE per
+    stratum (scales as a pure filter — use it at 10^12 docs); this one
+    hits a token BUDGET exactly, at the cost of a per-stratum ordered
+    running sum (Spark's window sorts within the stratum's partition —
+    parallelism across strata, a range-partitioned sort within one; the
+    intended use is the final bounded selection, e.g. "exactly 200B
+    tokens of code", after rate-based reduction has already cut the
+    corpus to near-target size).
+    """
+    from pyspark.sql import Window
+
+    from vaero_spark.functions.text import tokens
+
+    for s, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {v}")
+    if default_budget < 0:
+        raise ValueError("default_budget must be >= 0")
+    sized = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(strata_col).alias("_stratum"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("_stratum")
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.lit(default_budget).cast("long")
+    for s, v in sorted(budgets.items()):
+        budget = F.when(F.col("_stratum") == s, F.lit(v).cast("long")).otherwise(budget)
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_stratum").alias(strata_col),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )
+
+
+def mix_by_budget_sql(
+    table: str,
+    budgets: dict[str, int],
+    default_budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`mix_by_budget` (the window SUM is cast to
+    BIGINT outside the aggregate — the HUGEINT trap)."""
+    from vaero_spark.functions.text import tokens_sql
+
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {v}" for s, v in sorted(budgets.items())
+    )
+    return f"""
+    SELECT {id_col}, {strata_col}, n_tokens, cum_tokens FROM (
+      SELECT {id_col}, {strata_col}, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+                  PARTITION BY {strata_col}
+                  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM (SELECT {id_col}, {strata_col},
+                   CAST(len({tokens_sql(text_col)}) AS BIGINT) AS n_tokens
+            FROM {table}))
+    WHERE cum_tokens <= (CASE {whens} ELSE {default_budget} END)"""
+
+
 def sample_stratified_sql(
     rates_256ths: dict[str, int],
     strata_col: str = "lang",
