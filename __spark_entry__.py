@@ -27,6 +27,7 @@ from vaero_spark.compiler import compile_batch
 from vaero_spark.operators.assemble import assemble_sql as _assemble_sql
 from vaero_spark.functions import text as TXT
 from vaero_spark.operators import dedup as DD
+from vaero_spark.operators import cep as CEP
 from vaero_spark.operators import multimodal as MM
 from vaero_spark.operators import similarity as SIM
 from vaero_spark.operators import transforms as TR
@@ -516,6 +517,50 @@ def q_stream_counters(spark, sf_dir):
     )
 
 
+def q_stream_cep(spark, sf_dir):
+    """Streaming CEP (operators/cep.stream_cep_match): detect the
+    literal tool-churn sequence 'ttu' per conversation AS TURNS ARRIVE
+    — sequence reassembly over out-of-order micro-batches, bounded
+    carry state, update-mode emissions. After the drain the last
+    emission per conversation must equal the batch regex operator —
+    an EXACT SQL oracle for the streaming state machine."""
+    import tempfile
+
+    from vaero_spark.operators.cep import stream_cep_match
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_scep_")
+    inp = _gate_stream_input(spark, sf_dir, "plain")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        stream_cep_match(src, CEP_STREAM_LITERAL, watermark="60 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: later epochs supersede earlier emissions
+    for epoch_id, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = r
+    matched = [
+        (r.conv_id, r.n_turns, r.n_matches, r.first_match_turn)
+        for r in final.values()
+        if r.n_matches > 0
+    ]
+    return spark.createDataFrame(
+        matched, "conv_id string, n_turns long, n_matches long, first_match_turn long"
+    )
+
+
 def q_stream_open_sessions(spark, sf_dir):
     """Open-session tracking in CUSTOM state (applyInPandasWithState,
     EventTimeTimeout — the reference's time-cap flush timer,
@@ -955,6 +1000,20 @@ def q_conv_assemble(spark, sf_dir):
     return assemble_conversations(load_transcripts(spark, sf_dir))
 
 
+CEP_PATTERN = "tt+u"  # >=2 consecutive tool turns, then a user interrupt
+CEP_STREAM_LITERAL = "ttu"  # fixed-length form for the streaming state machine
+
+
+def q_cep_role_seq(spark, sf_dir):
+    """CEP sequence-pattern match (operators/cep.cep_match): find
+    conversations where a tool-call loop (>=2 consecutive tool turns)
+    is interrupted by the user — a regex over the per-conversation
+    role-symbol sequence, the MATCH_RECOGNIZE/Flink-CEP primitive the
+    reference engine lacks; non-overlapping count + first-match turn,
+    integer-exact in both engines."""
+    return CEP.cep_match(load_transcripts(spark, sf_dir), CEP_PATTERN)
+
+
 def q_txt_topk_tokens(spark, sf_dir):
     """Corpus vocabulary heavy hitters: top-100 tokens by frequency,
     deterministic tiebreak; distributed top-k (TakeOrderedAndProject)."""
@@ -1027,12 +1086,12 @@ def q_mm_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
-    50 entries. With 63 gate queries, coverage ROTATES (VERDICT r4 #2):
-    the queries outside round 4's window lead this round, the 3 new
+    50 entries. With 65 gate queries, coverage ROTATES (VERDICT r4 #2):
+    the queries outside round 4's window lead this round, the 5 new
     round-5 ops sit in-window for their first correctness row, and the
-    13 now past position 50 each carry 2+ rounds of green driver
+    15 now past position 50 each carry 2+ rounds of green driver
     history AND stay in the full local replay (``tools/check_oracle.py``
-    runs all 63) — every operator family keeps an in-window
+    runs all 65) — every operator family keeps an in-window
     representative."""
     return {
         # -- rotated IN (formally untested in CORRECTNESS_r04) --------
@@ -1046,12 +1105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
         # -- in-window representatives of every family ----------------
-        "t_add": q_t_add,
         "t_rename_delete": q_t_rename_delete,
         "t_filter_regexp": q_t_filter,
         "t_mask": q_t_mask,
         "t_parse_regexp": q_t_parse,
-        "t_select": q_t_select,
         "route_branch": q_route,
         "w_tumbling": q_w_tumbling,
         "w_session": q_w_session,
@@ -1088,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_boilerplate": q_txt_boilerplate,
         "corpus_bm25": q_corpus_bm25,
         "corpus_mix": q_corpus_mix,
+        "cep_role_seq": q_cep_role_seq,
+        "stream_cep": q_stream_cep,
         # -- past the 50-entry window this round (rotated OUT; each is
         #    2+ rounds driver-green, each family still covered above:
         #    t_sample→corpus_sample, t_annotate→txt_quality/langid,
@@ -1097,7 +1156,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    simhash/_pairs→dedup_simhash_auto (same pairs path),
         #    w_sliding→w_tumbling/w_session (same windows row),
         #    stream_counters→stream_open_sessions (same custom-state row),
-        #    mm_frames→mm_meta/mm_features (same multimodal row)
+        #    mm_frames→mm_meta/mm_features (same multimodal row),
+        #    t_add→route_branch (its branch lambdas run TR.add in-window;
+        #    4 rounds of green driver history r1-r4),
+        #    t_select→t_rename_delete/t_mask (projection family; 4 rounds
+        #    of green driver history r1-r4)
+        "t_add": q_t_add,
+        "t_select": q_t_select,
         "mm_frames": q_mm_frames,
         "w_sliding": q_w_sliding,
         "stream_counters": q_stream_counters,
@@ -1523,6 +1588,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": TR.mix_by_budget_sql(
             "documents", MIX_BUDGETS, MIX_DEFAULT_BUDGET
         ),
+        "cep_role_seq": f"{_T} {CEP.cep_match_sql('transcripts', CEP_PATTERN)}",
+        # streaming CEP drains to the SAME result as the batch regex op
+        # on the literal pattern — the state machine gets an exact oracle
+        "stream_cep": f"{_T} {CEP.cep_match_sql('transcripts', CEP_STREAM_LITERAL)}",
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         # auto-banded run at the fixture estimate must equal the pinned

@@ -1,0 +1,188 @@
+"""CEP sequence-pattern matching over conversation role sequences."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+
+from vaero_spark.operators.cep import ROLE_SYMBOLS, cep_match
+
+ROLES = ["user", "assistant", "tool", "system"]
+
+
+def _fixture_rows():
+    """Deterministic pseudo-random conversations (hash-picked roles, so
+    repeats and runs actually occur)."""
+    import hashlib
+
+    rows = []
+    for conv in range(30):
+        for i in range((conv * 7) % 13 + 3):
+            pick = int(hashlib.md5(f"{conv}-{i}".encode()).hexdigest(), 16) % 4
+            rows.append((f"c{conv}", i, ROLES[pick]))
+    # one conversation with an unknown role: renders as '?', never matches
+    rows += [("weird", 0, "tool"), ("weird", 1, "narrator"), ("weird", 2, "user")]
+    return rows
+
+
+@pytest.mark.parametrize("pattern", ["tt+u", "ua", "t[ua]s?", "^u", "s$"])
+def test_cep_match_matches_python_re(spark, pattern):
+    """n_matches and first_match_turn agree with Python's re (the
+    non-overlapping ``finditer`` scan) on every conversation, and
+    match-free conversations are excluded."""
+    rows = _fixture_rows()
+    out = cep_match(spark.createDataFrame(rows, ["conv_id", "turn_idx", "role"]), pattern)
+    got = {r.conv_id: (r.n_turns, r.n_matches, r.first_match_turn) for r in out.collect()}
+
+    seqs: dict[str, list[tuple[int, str]]] = {}
+    for conv, idx, role in rows:
+        seqs.setdefault(conv, []).append((idx, ROLE_SYMBOLS.get(role, "?")))
+    expect = {}
+    for conv, turns in seqs.items():
+        seq = "".join(c for _, c in sorted(turns))
+        matches = list(re.finditer(pattern, seq))
+        if matches:
+            expect[conv] = (len(seq), len(matches), matches[0].start())
+    assert got == expect
+    assert expect, f"fixture produced no matches for {pattern!r}"
+    assert len(expect) < len(seqs), f"{pattern!r} matched every conversation"
+
+
+def test_cep_match_tool_loop_fixture(spark):
+    """A hand-built tool-churn conversation: two tool turns then a user
+    interrupt matches ``tt+u`` exactly once, starting at the loop."""
+    rows = [("c", i, r) for i, r in enumerate(
+        ["user", "assistant", "tool", "tool", "tool", "user", "assistant"]
+    )]
+    out = cep_match(
+        spark.createDataFrame(rows, ["conv_id", "turn_idx", "role"]), "tt+u"
+    ).collect()
+    assert [(r.conv_id, r.n_turns, r.n_matches, r.first_match_turn) for r in out] == [
+        ("c", 7, 1, 2)
+    ]
+
+
+def test_stream_cep_final_state_equals_batch(spark, tmp_path):
+    """Drain a multi-trigger file stream (rows shuffled within files)
+    through the streaming CEP state machine; the last UPDATE emission
+    per conversation must equal the batch operator on the same rows —
+    the reassembly/carry logic survives out-of-order arrival."""
+    import os
+
+    from vaero_spark.operators.cep import stream_cep_match
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import transcripts_stream
+    from vaero_spark.testing.fixtures import write_transcripts_parquet
+
+    src_dir = str(tmp_path / "src")
+    write_transcripts_parquet(
+        src_dir, n_files=5, n_turns=1200, n_convs=30, seed=7, role_mode="hash"
+    )
+    stream = transcripts_stream(spark, src_dir, max_files_per_trigger=1)
+    out = stream_cep_match(stream, "ttu", watermark="60 days")
+    sink = MemorySink()
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for _, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = (r.n_turns, r.n_matches, r.first_match_turn)
+    got = {c: v for c, v in final.items() if v[1] > 0}
+
+    # the stream op is exactly-once per (conv, turn) — late duplicate
+    # rows in the fixture are ignored — so the batch comparison runs on
+    # the deduped table (the canonical transcripts table is unique)
+    batch = spark.read.parquet(src_dir).dropDuplicates(["conv_id", "turn_idx"])
+    want = {
+        r.conv_id: (r.n_turns, r.n_matches, r.first_match_turn)
+        for r in cep_match(batch, "ttu").collect()
+    }
+    assert got == want
+    assert want, "fixture produced no matches for 'ttu'"
+    # every conversation fully reassembled (n_turns = its row count)
+    totals = {r.conv_id: r.cnt for r in batch.groupBy("conv_id").count().withColumnRenamed("count", "cnt").collect()}
+    for conv, (n_turns, _, _) in final.items():
+        assert n_turns == totals[conv], conv
+
+
+def test_stream_cep_fn_reassembles_out_of_order():
+    """Unit-drive the state fn batch-by-batch with an adversarial
+    arrival order: the match spanning a batch boundary is found once
+    the gap fills, never double-counted."""
+    from vaero_spark.operators.cep import ROLE_SYMBOLS, _stream_cep_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutTimestamp(self, *a, **k):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+    roles = ["user", "tool", "tool", "user", "assistant", "tool", "tool", "user"]
+    # seq = "uttuattu": matches of "ttu" at 1 and 5
+    fn = _stream_cep_fn("ttu", ROLE_SYMBOLS, 3600)
+    state = FakeState()
+
+    def feed(idxs):
+        pdf = pd.DataFrame(
+            {"turn_idx": idxs, "role": [roles[i] for i in idxs],
+             "ts": pd.Timestamp("2024-01-01")}
+        )
+        return list(fn(("c",), iter([pdf]), state))
+
+    # batch 1: turns 0,1 then a gap — turn 3,4 wait in pending
+    out1 = feed([0, 1, 3, 4])
+    assert out1 and out1[0]["n_matches"].iloc[0] == 0
+    assert out1[0]["n_turns"].iloc[0] == 2  # contiguous prefix stops at gap
+    # batch 2: the gap (turn 2) + duplicates of consumed turns
+    out2 = feed([2, 0, 1])
+    assert out2[0]["n_turns"].iloc[0] == 5
+    assert out2[0]["n_matches"].iloc[0] == 1
+    assert out2[0]["first_match_turn"].iloc[0] == 1
+    # batch 3: the tail; second match spans the carry
+    out3 = feed([5, 6, 7])
+    assert out3[0]["n_turns"].iloc[0] == 8
+    assert out3[0]["n_matches"].iloc[0] == 2
+    assert out3[0]["first_match_turn"].iloc[0] == 1
+
+
+def test_stream_cep_rejects_bad_literals():
+    from vaero_spark.operators.cep import stream_cep_match
+
+    for bad in ["", "txu", "t+u"]:
+        with pytest.raises(ValueError):
+            stream_cep_match(None, bad)
+
+
+def test_cep_match_rejects_unsafe_patterns(spark):
+    df = None  # validation happens before any Spark work
+    for bad in ["t*", "(u)\\1", "u(?=a)", ""]:
+        with pytest.raises(ValueError):
+            cep_match(df, bad)
+    with pytest.raises(ValueError):
+        cep_match(df, "ua", symbols={"user": "u", "assistant": "u"})
+    with pytest.raises(ValueError):
+        cep_match(df, "ua", symbols={"user": "??"})

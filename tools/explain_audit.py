@@ -86,6 +86,9 @@ CHECKS = {
     # exact-budget mixing: the running sum is a window PARTITIONED BY
     # the stratum (parallel across strata) — never a global sort/window
     "corpus_mix": (["Window"], ["CartesianProduct"]),
+    # CEP sequence match: the assemble_conversations class — one shuffle
+    # on conv_id, per-group sort_array, NO global sort
+    "cep_role_seq": (["Aggregate"], ["CartesianProduct", "Sort ["]),
 }
 
 

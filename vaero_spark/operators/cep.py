@@ -1,0 +1,296 @@
+"""Complex-event-processing pattern match over conversation transcripts.
+
+The CEP primitive the north-star spec's streaming engine exists for:
+"find conversations where this ordered pattern of events occurs" (a
+tool-call loop the user had to interrupt, an assistant turn with no
+following user reply, an escalation funnel). The reference engine has no
+sequence operator at all — its transforms are per-event
+(``/root/reference/execute/transformNode.go:14-35``) — so this is a
+north-star addition in the MATCH_RECOGNIZE / Flink-CEP family, built
+Spark-first.
+
+Design: a conversation's turns are rendered (in stable ``turn_idx``
+order) as a compact SYMBOL STRING — one character per turn from a
+role→symbol map — and the pattern is a regular expression over that
+alphabet. Regex-over-symbols is exactly the classical CEP automaton
+(Kleene-closure sequence patterns, SASE/Flink-CEP style) with the
+engine's native regex runtime as the NFA. All outputs are integer/
+string arithmetic, so the DuckDB twin is bit-exact:
+
+- ``n_matches``: non-overlapping left-to-right match count. Java
+  (``Matcher.find`` loop, Spark's ``regexp_count``) and RE2 (DuckDB's
+  ``regexp_extract_all``) both scan leftmost-first with greedy
+  quantifiers, so counts agree for patterns over this alphabet.
+- ``first_match_turn``: 0-based ``turn_idx`` of the first match start =
+  length of the lazy prefix ``^(.*?)`` before the pattern — the same
+  leftmost-first semantics in both engines.
+
+Distributed shape (the ``assemble_conversations`` class): ONE shuffle on
+``conv_id``, per-group ``sort_array`` on bounded conversation-length
+arrays — no global sort, no window over the table; the regex runs as a
+narrow projection after the aggregate. At 100 TB the conversation is the
+natural parallel unit and symbol strings are ~4 orders of magnitude
+smaller than the transcripts they index.
+
+Constraints (documented, asserted): the pattern must not match the empty
+string (a ``*``-only pattern would make "first match" ill-defined and
+the non-overlapping count engine-divergent), and must use only the
+portable regex core (literals, classes, ``+ * ? {m,n}``, alternation,
+grouping) — no backreferences or lookaround, which RE2 lacks.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: default role → symbol alphabet for transcript tables
+ROLE_SYMBOLS = {"user": "u", "assistant": "a", "tool": "t", "system": "s"}
+#: unmapped roles render as '?' — keep it out of patterns
+UNKNOWN_SYMBOL = "?"
+
+
+def _check_pattern(pattern: str, symbols: dict[str, str]) -> None:
+    if re.fullmatch(pattern, ""):
+        raise ValueError(f"pattern {pattern!r} matches the empty string")
+    if re.search(r"\\\d|\(\?<?[=!]", pattern):
+        raise ValueError(f"pattern {pattern!r} uses non-portable regex (RE2 has no backrefs/lookaround)")
+    for sym in symbols.values():
+        if len(sym) != 1 or sym == UNKNOWN_SYMBOL:
+            raise ValueError(f"symbols must be single non-{UNKNOWN_SYMBOL!r} chars, got {sym!r}")
+    if len(set(symbols.values())) != len(symbols):
+        raise ValueError("role symbols must be distinct")
+
+
+def _symbol_expr(role_col: str, symbols: dict[str, str]):
+    expr = F.lit(UNKNOWN_SYMBOL)
+    for role, sym in sorted(symbols.items()):
+        expr = F.when(F.col(role_col) == role, F.lit(sym)).otherwise(expr)
+    return expr
+
+
+def cep_match(
+    df: DataFrame,
+    pattern: str,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+) -> DataFrame:
+    """(turns) → (conv_id, n_turns, n_matches, first_match_turn), one
+    row per conversation whose role-symbol sequence matches ``pattern``
+    at least once; ``first_match_turn`` is the 0-based ``order_col``
+    position where the first (leftmost) match starts."""
+    _check_pattern(pattern, symbols)
+    turn = F.struct(
+        F.col(order_col).alias("idx"),
+        _symbol_expr(role_col, symbols).alias("c"),
+    )
+    agg = df.select(F.col(conv_col), turn.alias("t")).groupBy(conv_col).agg(
+        F.sort_array(F.collect_list("t")).alias("_turns")
+    )
+    # _turns is an attribute of its own projection (module PERFORMANCE
+    # RULE in functions/text.py): the transform slices a materialized
+    # array, not a re-evaluated expression tree
+    seq = F.array_join(F.transform(F.col("_turns"), lambda t: t["c"]), "")
+    scored = agg.select(
+        F.col(conv_col),
+        F.size("_turns").cast("bigint").alias("n_turns"),
+        seq.alias("_seq"),
+    ).select(
+        conv_col,
+        "n_turns",
+        F.regexp_count("_seq", F.lit(pattern)).cast("bigint").alias("n_matches"),
+        F.length(F.regexp_extract("_seq", f"^(.*?)(?:{pattern})", 1))
+        .cast("bigint")
+        .alias("first_match_turn"),
+    )
+    return scored.filter(F.col("n_matches") > 0)
+
+
+def cep_match_sql(
+    table: str,
+    pattern: str,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+) -> str:
+    """DuckDB twin of :func:`cep_match` (RE2 leftmost-first matches the
+    Java matcher for the portable regex core; counts via
+    ``regexp_extract_all``, first position via the lazy-prefix trick)."""
+    _check_pattern(pattern, symbols)
+    whens = " ".join(
+        f"WHEN '{role}' THEN '{sym}'" for role, sym in sorted(symbols.items())
+    )
+    sym_case = f"CASE {role_col} {whens} ELSE '{UNKNOWN_SYMBOL}' END"
+    pat = pattern.replace("'", "''")
+    return f"""
+    SELECT {conv_col}, n_turns, n_matches, first_match_turn FROM (
+      SELECT {conv_col},
+             CAST(n_turns AS BIGINT) AS n_turns,
+             CAST(len(regexp_extract_all(seq, '{pat}')) AS BIGINT) AS n_matches,
+             CAST(length(regexp_extract(seq, '^(.*?)(?:{pat})', 1)) AS BIGINT)
+               AS first_match_turn
+      FROM (
+        SELECT {conv_col},
+               string_agg({sym_case}, '' ORDER BY {order_col}) AS seq,
+               COUNT(*) AS n_turns
+        FROM {table} GROUP BY {conv_col}
+      ))
+    WHERE n_matches > 0"""
+
+
+# ---------------------------------------------------------------------------
+# streaming CEP — literal sequence patterns over a live transcript stream
+# ---------------------------------------------------------------------------
+
+CEP_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("first_match_turn", T.LongType()),
+    ]
+)
+
+#: next_idx = next contiguous turn expected; pend_* = out-of-order turns
+#: awaiting reassembly (idx list + aligned symbol chars); carry = the
+#: unmatched tail of the consumed prefix (< pattern length, the only
+#: bytes a future match can still use); last_us arms idle eviction
+CEP_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_idx", T.LongType()),
+        T.StructField("pend_idx", T.ArrayType(T.LongType())),
+        T.StructField("pend_sym", T.StringType()),
+        T.StructField("carry", T.StringType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("first_match", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _stream_cep_fn(literal: str, symbols: dict[str, str], idle_timeout_seconds: int):
+    from vaero_spark.operators.state import _arm_idle_timeout, _pdf_max_us
+
+    plen = len(literal)
+
+    def fn(
+        key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # conversation idle past the horizon
+            return
+        if state.exists:
+            next_idx, pend_idx, pend_sym, carry, n_matches, first_match, last_us = (
+                state.get
+            )
+            pend = dict(zip(pend_idx or [], pend_sym or ""))
+        else:
+            next_idx, carry, n_matches, first_match, last_us = 0, "", 0, -1, 0
+            pend = {}
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            last_us = _pdf_max_us(pdf, last_us)
+            # vectorized ingest: map roles → symbols and drop already-
+            # consumed turns before the per-element insert (a pandas
+            # Series element loop here doubled the drain wall time)
+            idxs = pdf["turn_idx"].to_numpy()
+            keep = idxs >= next_idx
+            syms = pdf["role"][keep].map(symbols).fillna(UNKNOWN_SYMBOL)
+            for i, s in zip(idxs[keep].tolist(), syms.tolist()):
+                if i not in pend:  # first arrival wins; late dups drop
+                    pend[i] = s
+        # reassemble: consume the contiguous prefix that is now complete
+        work = []
+        while next_idx in pend:
+            work.append(pend.pop(next_idx))
+            next_idx += 1
+        if work:
+            scan_abs = next_idx - len(work) - len(carry)
+            scan = carry + "".join(work)
+            pos = 0
+            while (hit := scan.find(literal, pos)) != -1:
+                n_matches += 1
+                if first_match < 0:
+                    first_match = scan_abs + hit
+                pos = hit + plen  # non-overlapping, same as the batch scan
+            carry = scan[max(pos, len(scan) - (plen - 1)) :]
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [next_idx],
+                    "n_matches": [n_matches],
+                    "first_match_turn": [first_match],
+                }
+            )
+        state.update(
+            (
+                next_idx,
+                sorted(pend),
+                "".join(pend[i] for i in sorted(pend)),
+                carry,
+                n_matches,
+                first_match,
+                last_us,
+            )
+        )
+        _arm_idle_timeout(state, last_us, idle_timeout_seconds)
+
+    return fn
+
+
+def stream_cep_match(
+    stream: DataFrame,
+    literal: str,
+    watermark: str = "10 minutes",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+    idle_timeout_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Streaming CEP over a live transcript stream: detect a FIXED
+    literal role-symbol sequence (e.g. ``"ttu"``) per conversation as
+    turns arrive, robust to out-of-order arrival across micro-batches.
+
+    The classic streaming-CEP state machine, specialized to literal
+    sequences so state stays provably bounded: out-of-order turns wait
+    in a pending buffer until the contiguous ``turn_idx`` prefix
+    reaches them (sequence reassembly); consumed symbols are scanned
+    left-to-right non-overlapping, and only the unmatched tail
+    (< pattern length) is carried — so per-conversation state is
+    O(pattern + out-of-order gap), never O(conversation). Kleene
+    patterns (``tt+u``) need unbounded lookahead and stay batch-side in
+    :func:`cep_match`; the documented split.
+
+    Emits (conv_id, n_turns, n_matches, first_match_turn) in UPDATE
+    mode whenever the contiguous prefix advances; after a full drain
+    the last emission per conversation equals :func:`cep_match` on the
+    same rows with ``pattern=literal`` — an exact cross-check between
+    the streaming state machine and the batch SQL oracle. Turn indexes
+    are assumed 0-based contiguous per conversation (the canonical
+    transcripts derivation guarantees it).
+    """
+    if not literal:
+        raise ValueError("literal pattern must be non-empty")
+    alphabet = set(symbols.values())
+    if not set(literal) <= alphabet:
+        raise ValueError(f"literal {literal!r} uses symbols outside {sorted(alphabet)}")
+    _check_pattern(literal, symbols)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _stream_cep_fn(literal, dict(symbols), idle_timeout_seconds),
+            outputStructType=CEP_STREAM_OUTPUT_SCHEMA,
+            stateStructType=CEP_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -35,9 +35,17 @@ def make_transcripts_pdf(
     late_frac: float = 0.05,
     dup_frac: float = 0.01,
     mean_gap_s: float = 30.0,
+    role_mode: str = "cycle",
 ) -> pd.DataFrame:
     """Build the fixture as a pandas DataFrame (ts is tz-naive UTC, to
-    match Spark's session-UTC timestamps)."""
+    match Spark's session-UTC timestamps).
+
+    ``role_mode="cycle"`` (default) rotates roles u/a/t/s by global row
+    position — within a conversation the sequence never repeats a role,
+    which is degenerate for sequence-pattern (CEP) tests.
+    ``role_mode="hash"`` picks each turn's role from md5(conv, turn)
+    like the canonical transcripts derivation's event_id-driven roles,
+    so runs and repeats occur."""
     rng = np.random.default_rng(seed)
 
     # conversation sizes: one hot conv + Zipf-ish tail over the rest
@@ -54,7 +62,16 @@ def make_transcripts_pdf(
     turn_idx = np.concatenate([np.arange(s, dtype=np.int32) for s in conv_sizes])
 
     n = len(conv_ids)
-    roles = _ROLES[np.arange(n) % 4]
+    if role_mode == "hash":
+        import hashlib
+
+        picks = [
+            int(hashlib.md5(f"{c}-{t}".encode()).hexdigest(), 16) % 4
+            for c, t in zip(conv_ids, turn_idx)
+        ]
+        roles = _ROLES[np.array(picks)]
+    else:
+        roles = _ROLES[np.arange(n) % 4]
     # per-conversation monotone ts: conv start offset + cumulative gaps
     conv_start = rng.uniform(0, 3600 * 24, size=n_convs)
     gaps = rng.exponential(mean_gap_s, size=n)
