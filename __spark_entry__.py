@@ -1014,6 +1014,74 @@ def q_cep_role_seq(spark, sf_dir):
     return CEP.cep_match(load_transcripts(spark, sf_dir), CEP_PATTERN)
 
 
+FUNNEL_ROLES = ["user", "assistant", "tool", "system"]
+SPIKE_PARAMS = dict(baseline_buckets=3, factor_bp=20000, min_baseline=3)
+
+
+def q_conv_funnel(spark, sf_dir):
+    """Ordered-stage funnel (operators/analytics.funnel): conversations
+    progressing user → assistant → tool → system, each stage strictly
+    after the previous stage's first hit — the event-analytics
+    primitive; chained conv-keyed min-aggregates, integer-exact."""
+    from vaero_spark.operators.analytics import funnel
+
+    stages = [(r, F.col("role") == r) for r in FUNNEL_ROLES]
+    return funnel(load_transcripts(spark, sf_dir), stages)
+
+
+def q_rate_spikes(spark, sf_dir):
+    """Rate-spike detection (operators/analytics.rate_spikes): per-user
+    daily event counts vs the trailing 3-day baseline, flagged by
+    integer cross-multiplication (cur·3·10⁴ > 2·10⁴·sum_prev) — one
+    map-side-combined aggregate + one per-key integer-RANGE window."""
+    from vaero_spark.operators.analytics import rate_spikes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rate_spikes(ev, **SPIKE_PARAMS)
+
+
+def q_stream_spikes(spark, sf_dir):
+    """Streaming rate-spike detection: the same rule on a LIVE stream
+    (applyInPandasWithState, watermark-bounded per-key bucket state,
+    update-mode re-emission); the drained final emission equals the
+    batch operator — an EXACT SQL oracle for the stateful op."""
+    import tempfile
+
+    from vaero_spark.operators.analytics import stream_rate_spikes
+    from vaero_spark.sinks.writers import MemorySink
+
+    work = tempfile.mkdtemp(prefix="vaero_q_spike_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(6, "event_id").write.parquet(f"{work}/in")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(f"{work}/in")
+    )
+    sink = MemorySink()
+    q = (
+        stream_rate_spikes(src, watermark="90 days", **SPIKE_PARAMS)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: later epochs supersede earlier emissions
+    for epoch_id, rows in sorted(sink.batches):
+        for r in rows:
+            final[(r.key, r.bucket_idx)] = r
+    spikes = [
+        (r.key, r.bucket_idx, r.n_events, r.baseline_sum)
+        for r in final.values()
+        if r.is_spike
+    ]
+    return spark.createDataFrame(
+        spikes, "key long, bucket_idx long, n_events long, baseline_sum long"
+    )
+
+
 def q_txt_topk_tokens(spark, sf_dir):
     """Corpus vocabulary heavy hitters: top-100 tokens by frequency,
     deterministic tiebreak; distributed top-k (TakeOrderedAndProject)."""
@@ -1086,12 +1154,12 @@ def q_mm_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
-    50 entries. With 65 gate queries, coverage ROTATES (VERDICT r4 #2):
-    the queries outside round 4's window lead this round, the 5 new
+    50 entries. With 68 gate queries, coverage ROTATES (VERDICT r4 #2):
+    the queries outside round 4's window lead this round, the 8 new
     round-5 ops sit in-window for their first correctness row, and the
-    15 now past position 50 each carry 2+ rounds of green driver
+    18 now past position 50 each carry 2+ rounds of green driver
     history AND stay in the full local replay (``tools/check_oracle.py``
-    runs all 65) — every operator family keeps an in-window
+    runs all 68) — every operator family keeps an in-window
     representative."""
     return {
         # -- rotated IN (formally untested in CORRECTNESS_r04) --------
@@ -1107,7 +1175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- in-window representatives of every family ----------------
         "t_rename_delete": q_t_rename_delete,
         "t_filter_regexp": q_t_filter,
-        "t_mask": q_t_mask,
         "t_parse_regexp": q_t_parse,
         "route_branch": q_route,
         "w_tumbling": q_w_tumbling,
@@ -1118,8 +1185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_pipeline": q_stream_pipeline,
         "stream_dedup_wm": q_stream_dedup_wm,
         "stream_join": q_stream_join,
-        "stream_open_sessions": q_stream_open_sessions,
-        "http_ingest": q_http_ingest,
         "s3_ingest": q_s3_ingest,
         "api_paginated": q_api_paginated,
         "txt_tokens": q_txt_tokens,
@@ -1147,6 +1212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "cep_role_seq": q_cep_role_seq,
         "stream_cep": q_stream_cep,
+        "conv_funnel": q_conv_funnel,
+        "rate_spikes": q_rate_spikes,
+        "stream_spikes": q_stream_spikes,
         # -- past the 50-entry window this round (rotated OUT; each is
         #    2+ rounds driver-green, each family still covered above:
         #    t_sample→corpus_sample, t_annotate→txt_quality/langid,
@@ -1161,8 +1229,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    4 rounds of green driver history r1-r4),
         #    t_select→t_rename_delete/t_mask (projection family; 4 rounds
         #    of green driver history r1-r4)
+        #    t_mask→t_parse_regexp/t_filter_regexp (regex-transform
+        #    family; r1-r4 driver-green),
+        #    http_ingest→s3_ingest/api_paginated (exactly-once ingest
+        #    family; r3-r4 driver-green),
+        #    stream_counters+stream_open_sessions→stream_spikes (the
+        #    applyInPandasWithState custom-state family; r3-r4 green)
         "t_add": q_t_add,
         "t_select": q_t_select,
+        "t_mask": q_t_mask,
+        "http_ingest": q_http_ingest,
+        "stream_open_sessions": q_stream_open_sessions,
         "mm_frames": q_mm_frames,
         "w_sliding": q_w_sliding,
         "stream_counters": q_stream_counters,
@@ -1282,6 +1359,8 @@ from vaero_spark.operators.curate import decontaminate_sql as _decontam_sql
 from vaero_spark.operators.curate import pii_scrub_sql as _pii_sql
 from vaero_spark.operators.curate import strip_boilerplate_sql as _boiler_sql
 from vaero_spark.operators.search import bm25_sql as _bm25_sql
+from vaero_spark.operators.analytics import funnel_sql as _funnel_sql
+from vaero_spark.operators.analytics import rate_spikes_sql as _spikes_sql
 
 _CORPUS_PACK_SQL = f"WITH RECURSIVE {_pack_sql('documents')}"
 
@@ -1592,6 +1671,12 @@ def oracle_sql() -> dict[str, str]:
         # streaming CEP drains to the SAME result as the batch regex op
         # on the literal pattern — the state machine gets an exact oracle
         "stream_cep": f"{_T} {CEP.cep_match_sql('transcripts', CEP_STREAM_LITERAL)}",
+        "conv_funnel": f"{_T},\n"
+        + _funnel_sql("transcripts", [(r, f"role = '{r}'") for r in FUNNEL_ROLES]),
+        "rate_spikes": f"WITH {_spikes_sql('events', **SPIKE_PARAMS)}",
+        # streaming spikes drain to the SAME rows as the batch window op
+        # — the watermark-bounded bucket state gets an exact oracle
+        "stream_spikes": f"WITH {_spikes_sql('events', **SPIKE_PARAMS)}",
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         # auto-banded run at the fixture estimate must equal the pinned

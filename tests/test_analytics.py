@@ -1,0 +1,209 @@
+"""Funnel + rate-spike analytics: handcrafted-exact semantics, the
+streaming variant's drain==batch equality, and watermark-bounded state.
+
+The batch ops' cross-engine parity is driver-gated (``conv_funnel``,
+``rate_spikes``, ``stream_spikes`` in ``__spark_entry__``); these tests
+pin the SEMANTICS on inputs small enough to verify by hand — the ordered
+-progression rule funnels are defined by, the no-division spike rule,
+cold-start suppression — plus the eviction path a full drain with a wide
+watermark never exercises.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vaero_spark.operators.analytics import (
+    funnel,
+    rate_spikes,
+    stream_rate_spikes,
+)
+from vaero_spark.sinks.writers import MemorySink
+
+
+def _ts(day: int, hour: int = 0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_ordered_progression(spark):
+    # conv a: user(0) assistant(1) tool(2)      -> reaches all 3 stages
+    # conv b: assistant(0) user(1) tool(2)      -> stage2 (assistant)
+    #         precedes stage1's first hit, so b stops at stage 1... but
+    #         tool(2) > user(1) only counts if assistant came between:
+    #         b reaches stage1 at turn 1, has no assistant AFTER turn 1,
+    #         so never reaches stage 2 (ordering, not mere presence).
+    # conv c: user(0) user(1) assistant(2)      -> stages 1 and 2.
+    rows = [
+        ("a", 0, "user"), ("a", 1, "assistant"), ("a", 2, "tool"),
+        ("b", 0, "assistant"), ("b", 1, "user"), ("b", 2, "tool"),
+        ("c", 0, "user"), ("c", 1, "user"), ("c", 2, "assistant"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    stages = [(r, F.col("role") == r) for r in ["user", "assistant", "tool"]]
+    got = {r.stage: (r.stage_name, r.n_convs) for r in funnel(df, stages).collect()}
+    assert got == {1: ("user", 3), 2: ("assistant", 2), 3: ("tool", 1)}
+
+
+def test_funnel_counts_monotone_on_fixture(spark, sf_dir):
+    from vaero_spark.sources.transcripts import load_transcripts
+
+    tr = load_transcripts(spark, sf_dir)
+    stages = [(r, F.col("role") == r) for r in ["user", "assistant", "tool"]]
+    counts = [
+        r.n_convs for r in funnel(tr, stages).orderBy("stage").collect()
+    ]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0
+
+
+def test_funnel_rejects_empty_stages(spark):
+    with pytest.raises(ValueError):
+        funnel(spark.range(1), [])
+
+
+# ---------------------------------------------------------------------------
+# rate spikes (batch)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid) for i, (ts, uid) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+
+
+def test_rate_spike_fires_above_factor(spark):
+    # user 1: days 1,2,3 -> 1 event each (baseline_sum 3), day 4 -> 3
+    # events: 3*3*10000 = 90000 > 20000*3 = 60000 -> spike.
+    rows = [(_ts(d), 1) for d in (1, 2, 3)] + [(_ts(4, h), 1) for h in (1, 2, 3)]
+    out = rate_spikes(_events(spark, rows)).collect()
+    assert [(r.key, r.n_events, r.baseline_sum) for r in out] == [(1, 3, 3)]
+
+
+def test_rate_spike_cold_start_suppressed(spark):
+    # user 2 bursts on day 1 with NO baseline -> min_baseline gate holds
+    rows = [(_ts(1, h), 2) for h in range(8)]
+    assert rate_spikes(_events(spark, rows)).count() == 0
+
+
+def test_rate_spike_integer_rule_boundary(spark):
+    # cur=2, baseline_sum=3: 2*3*10000 = 60000 == 20000*3 -> strict
+    # inequality, NOT a spike (the rule is >, both engines)
+    rows = [(_ts(d), 3) for d in (1, 2, 3)] + [(_ts(4, h), 3) for h in (1, 2)]
+    assert rate_spikes(_events(spark, rows)).count() == 0
+    # cur=3 tips it
+    rows.append((_ts(4, 3), 3))
+    assert rate_spikes(_events(spark, rows)).count() == 1
+
+
+def test_rate_spike_baseline_is_range_not_rows(spark):
+    # user 4: events on days 1 and 10, burst on day 11. The ROWS-frame
+    # reading would count day 1 in the baseline; the RANGE frame (days
+    # 8-10) sees only day 10 -> baseline_sum 2.
+    rows = [(_ts(1), 4), (_ts(1, 5), 4), (_ts(10), 4), (_ts(10, 5), 4)] + [
+        (_ts(11, h), 4) for h in range(4)
+    ]
+    out = rate_spikes(_events(spark, rows), min_baseline=2).collect()
+    assert [(r.key, r.n_events, r.baseline_sum) for r in out] == [(4, 4, 2)]
+
+
+# ---------------------------------------------------------------------------
+# rate spikes (streaming)
+# ---------------------------------------------------------------------------
+
+
+def _drain(spark, ev, n_files, watermark, order_col="event_id"):
+    work = tempfile.mkdtemp(prefix="vaero_t_spike_")
+    ev.repartition(n_files, order_col).write.parquet(f"{work}/in")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+    sink = MemorySink()
+    q = (
+        stream_rate_spikes(src, watermark=watermark)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for epoch_id, batch_rows in sorted(sink.batches):
+        for r in batch_rows:
+            final[(r.key, r.bucket_idx)] = r
+    return sorted(
+        (k, r.n_events, r.baseline_sum) for k, r in final.items() if r.is_spike
+    )
+
+
+def test_stream_spikes_drain_equals_batch_out_of_order(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = _drain(spark, ev, n_files=5, watermark="90 days")
+    want = sorted(
+        ((r.key, r.bucket_idx), r.n_events, r.baseline_sum)
+        for r in rate_spikes(ev).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_spikes_eviction_path_keeps_in_order_input_exact(spark, sf_dir):
+    # Time-ordered files + a NARROW watermark: the wm advances past old
+    # buckets, the eviction branch runs every batch, and because no
+    # event is actually late the drained result still equals batch —
+    # bounded state without a correctness tax.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    work = tempfile.mkdtemp(prefix="vaero_t_spike_ord_")
+    # sequential appends give strictly increasing file mtimes — the
+    # FileStreamSource's arrival order — so the stream sees time-ordered
+    # chunks (a range-partitioned bulk write lands near-simultaneous
+    # mtimes and the source may lead with the LATEST days, making every
+    # earlier event late-dropped)
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    bounds = [r.lo for r in ev.select(F.min(day).alias("lo")).collect()]
+    lo = bounds[0]
+    for i in range(4):
+        chunk = ev.filter((day >= lo + i * 8) & (day < lo + (i + 1) * 8))
+        chunk.coalesce(1).write.mode("append").parquet(f"{work}/in")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{work}/in")
+    )
+    sink = MemorySink()
+    q = (
+        stream_rate_spikes(src, watermark="6 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for epoch_id, batch_rows in sorted(sink.batches):
+        for r in batch_rows:
+            final[(r.key, r.bucket_idx)] = r
+    got = sorted(
+        (k, r.n_events, r.baseline_sum) for k, r in final.items() if r.is_spike
+    )
+    want = sorted(
+        ((r.key, r.bucket_idx), r.n_events, r.baseline_sum)
+        for r in rate_spikes(ev).collect()
+    )
+    assert got == want

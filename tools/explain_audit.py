@@ -89,6 +89,13 @@ CHECKS = {
     # CEP sequence match: the assemble_conversations class — one shuffle
     # on conv_id, per-group sort_array, NO global sort
     "cep_role_seq": (["Aggregate"], ["CartesianProduct", "Sort ["]),
+    # funnel: chained conv-keyed min-aggregates + equi-joins, all on the
+    # same key; any stage pairing convs all-to-all is wrong
+    "conv_funnel": (["HashAggregate"], ["CartesianProduct"]),
+    # rate spikes: ONE map-side-combined aggregate then a per-key
+    # integer-RANGE window — partitioned by key, never a whole-table
+    # single-partition window
+    "rate_spikes": (["Window"], ["CartesianProduct", "Window whole"]),
 }
 
 

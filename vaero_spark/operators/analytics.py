@@ -1,0 +1,332 @@
+"""Conversation/event analytics: funnels and rate-spike anomaly detection.
+
+Two classic event-analytics primitives every production analytics engine
+ships and the reference engine lacks (its pipeline is per-event
+transform + sink, ``/root/reference/execute/transformNode.go:14-35``):
+
+- **Funnel analysis** (:func:`funnel`): how many conversations progress
+  through an ORDERED sequence of stages — stage *k* counts only if it
+  occurs at a turn strictly AFTER the turn where stage *k-1* was first
+  reached. The per-stage conversation counts are monotone
+  non-increasing; the drop-off between rows is the product insight.
+
+- **Rate-spike detection** (:func:`rate_spikes`,
+  :func:`stream_rate_spikes`): per-key event counts in fixed time
+  buckets compared against the key's own trailing baseline; a bucket is
+  a spike when ``cur > factor × mean(baseline)``. The comparison is done
+  by INTEGER CROSS-MULTIPLICATION — ``cur · n_buckets · 10000 >
+  factor_bp · sum(baseline)`` — so there is no division and no float
+  anywhere, and the DuckDB twin is bit-exact (the repo-wide parity
+  rule: integer/string math only).
+
+Distributed shape:
+
+- ``funnel``: each stage is one hash-aggregate on ``conv_id`` feeding an
+  equi-join on ``conv_id`` into the next stage — all stages share the
+  same partitioning key, so the exchanges line up and no stage is ever
+  all-pairs. Stage count is small and fixed; at 100 TB the work is a
+  handful of conv-keyed shuffles over predicate-filtered (i.e. heavily
+  reduced) projections of the transcript table.
+
+- ``rate_spikes``: ONE hash-aggregate on (key, bucket) — map-side
+  combined, the natural reducer — then a per-key window over the
+  bucket index with an integer RANGE frame (absent buckets simply do
+  not contribute, exactly the semantics a gap-filling join would fake
+  at far higher cost). The sort inside the window is per-key over
+  bucket COUNTS (thousands per key per year), not events.
+
+- ``stream_rate_spikes``: the same rule on a LIVE stream via
+  ``applyInPandasWithState`` keyed by the entity: state is a bounded
+  ring of per-bucket counts (horizon = baseline + watermark slack),
+  update-mode re-emission as late events land; the drained final
+  emission per (key, bucket) equals the batch operator — giving the
+  stateful streaming op an EXACT SQL oracle (same pairing as
+  ``operators/cep.stream_cep_match``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# funnel analysis
+# ---------------------------------------------------------------------------
+
+
+def funnel(
+    transcripts: DataFrame,
+    stages: Sequence[Tuple[str, Column]],
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Ordered-stage funnel over conversations.
+
+    ``stages`` is a sequence of ``(name, predicate)`` pairs. A
+    conversation reaches stage *k* if some turn satisfies predicate *k*
+    at ``order_col`` strictly greater than the FIRST turn at which it
+    reached stage *k-1* (stage 1 has no constraint). Returns one row per
+    stage: ``(stage, stage_name, n_convs)`` with ``n_convs`` monotone
+    non-increasing.
+
+    The chained shape (filter → join on the previous stage's first-hit
+    turn → min-aggregate) is the standard windowless funnel plan; every
+    aggregate and join keys on ``conv_col`` so the exchanges reuse one
+    partitioning.
+    """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    counts: list[DataFrame] = []
+    reached: DataFrame | None = None
+    for i, (name, pred) in enumerate(stages):
+        hits = transcripts.filter(pred).select(
+            F.col(conv_col).alias("_conv"), F.col(order_col).alias("_ord")
+        )
+        if reached is not None:
+            hits = hits.join(reached, "_conv").filter(F.col("_ord") > F.col("_prev"))
+        reached = hits.groupBy("_conv").agg(F.min("_ord").alias("_prev"))
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("n_convs")).select(
+                F.lit(i + 1).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                "n_convs",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def funnel_sql(
+    table_expr: str,
+    stages: Sequence[Tuple[str, str]],
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> str:
+    """DuckDB twin of :func:`funnel`: ``stages`` are ``(name, WHERE
+    fragment)`` pairs; emits chained CTEs mirroring the Spark plan
+    stage-for-stage (caller supplies any leading ``WITH ... ,``)."""
+    ctes = []
+    for i, (name, where) in enumerate(stages):
+        if i == 0:
+            ctes.append(
+                f"s1 AS (SELECT {conv_col} AS _conv, MIN({order_col}) AS _prev\n"
+                f"  FROM {table_expr} WHERE {where} GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i + 1} AS (SELECT t.{conv_col} AS _conv, MIN(t.{order_col}) AS _prev\n"
+                f"  FROM {table_expr} t JOIN s{i} p ON t.{conv_col} = p._conv\n"
+                f"  WHERE ({where}) AND t.{order_col} > p._prev GROUP BY 1)"
+            )
+    selects = [
+        f"SELECT {i + 1} AS stage, '{name}' AS stage_name, COUNT(*) AS n_convs FROM s{i + 1}"
+        for i, (name, _) in enumerate(stages)
+    ]
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# rate-spike detection (batch)
+# ---------------------------------------------------------------------------
+
+
+def rate_spikes(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+    baseline_buckets: int = 3,
+    factor_bp: int = 20000,
+    min_baseline: int = 3,
+) -> DataFrame:
+    """Flag (key, bucket) pairs whose event count exceeds ``factor_bp``
+    (basis points, 20000 = 2.0×) times the mean of the key's own
+    TRAILING ``baseline_buckets`` buckets, requiring a baseline of at
+    least ``min_baseline`` events (cold keys never alarm).
+
+    Spike rule, integer-exact (no division)::
+
+        baseline_sum >= min_baseline
+        AND n_events * baseline_buckets * 10000 > factor_bp * baseline_sum
+
+    ``bucket`` is ``"day"`` or ``"hour"``; the bucket index is an
+    integer (days/hours since epoch), so the trailing window is an
+    integer RANGE frame — absent buckets contribute nothing, which is
+    exactly the zero-count semantics.
+    """
+    if bucket == "day":
+        idx = F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+    elif bucket == "hour":
+        idx = F.expr(f"timestampdiff(HOUR, timestamp'1970-01-01 00:00:00', {ts_col})")
+    else:
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    counts = (
+        events.groupBy(F.col(key_col).alias("key"), idx.alias("bucket_idx"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_idx")
+        .rangeBetween(-baseline_buckets, -1)
+    )
+    scored = counts.withColumn(
+        "baseline_sum", F.coalesce(F.sum("n_events").over(w), F.lit(0))
+    )
+    return scored.filter(
+        (F.col("baseline_sum") >= min_baseline)
+        & (
+            F.col("n_events") * baseline_buckets * 10000
+            > factor_bp * F.col("baseline_sum")
+        )
+    ).select("key", "bucket_idx", "n_events", "baseline_sum")
+
+
+def rate_spikes_sql(
+    table_expr: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+    baseline_buckets: int = 3,
+    factor_bp: int = 20000,
+    min_baseline: int = 3,
+) -> str:
+    """DuckDB twin of :func:`rate_spikes` (caller supplies ``WITH``).
+    ``SUM(BIGINT)`` widens to HUGEINT in DuckDB, so the baseline sum is
+    cast back OUTSIDE the window aggregate (repo parity rule)."""
+    if bucket == "day":
+        idx = f"date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE))"
+    elif bucket == "hour":
+        idx = f"date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', {ts_col})"
+    else:
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    return f"""
+    rs_counts AS (
+      SELECT {key_col} AS key, {idx} AS bucket_idx, COUNT(*) AS n_events
+      FROM {table_expr} GROUP BY 1, 2),
+    rs_scored AS (
+      SELECT key, bucket_idx, n_events,
+             CAST(COALESCE(SUM(n_events) OVER (
+               PARTITION BY key ORDER BY bucket_idx
+               RANGE BETWEEN {baseline_buckets} PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS baseline_sum
+      FROM rs_counts)
+    SELECT key, bucket_idx, n_events, baseline_sum
+    FROM rs_scored
+    WHERE baseline_sum >= {min_baseline}
+      AND n_events * {baseline_buckets} * 10000 > {factor_bp} * baseline_sum"""
+
+
+# ---------------------------------------------------------------------------
+# rate-spike detection (streaming)
+# ---------------------------------------------------------------------------
+
+_SPIKE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_idxs", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+_SPIKE_OUT_SCHEMA = (
+    "key long, bucket_idx long, n_events long, baseline_sum long, is_spike boolean"
+)
+
+
+def stream_rate_spikes(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    baseline_buckets: int = 3,
+    factor_bp: int = 20000,
+    min_baseline: int = 3,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming form of :func:`rate_spikes` over DAY buckets.
+
+    State per key is a bounded map ``bucket_idx -> count``: the engine
+    admits only rows at or past the watermark into the stateful op, so
+    buckets below ``wm_day - baseline_buckets`` can neither grow nor
+    serve as baseline again and are dropped — state is O(watermark
+    horizon in buckets), never O(history). Drain==batch equality holds
+    whenever no event is actually dropped as late (gates use a
+    watermark wider than the fixture span, the stream_cep pairing). Every batch re-emits the CURRENT flag row for every
+    retained bucket of each updated key (update mode); the last emission
+    per (key, bucket) is authoritative, so after a full drain
+    ``is_spike`` rows equal the batch operator exactly — the same
+    drain==batch pairing as ``stream_cep_match``, which is what makes a
+    stateful streaming op SQL-oracle-checkable.
+    """
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # nothing to finalize: emissions are eager
+            state.remove()
+            return
+        idxs, cnts = state.get if state.exists else ([], [])
+        buckets = dict(zip(idxs, cnts))
+        for pdf in pdfs:
+            days = (
+                pdf[ts_col].values.astype("datetime64[D]").astype("int64")
+            )
+            for b, n in pd.Series(days).value_counts().items():
+                b = int(b)
+                buckets[b] = buckets.get(b, 0) + int(n)
+        # Eviction keys off the WATERMARK, never the max bucket seen:
+        # the engine admits only rows with ts >= watermark into this
+        # operator, so a bucket below wm_day can no longer grow — and
+        # one below wm_day - baseline_buckets can no longer even serve
+        # as baseline for an admissible bucket. Anything younger must
+        # be retained (out-of-order files put a key's buckets in any
+        # arrival order). wm=0 (first batch / wide gate watermark)
+        # retains everything, which is what drain==batch needs.
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0 and buckets:
+            cutoff = wm_ms // 86_400_000 - baseline_buckets
+            buckets = {b: n for b, n in buckets.items() if b >= cutoff}
+        ordered = sorted(buckets)
+        state.update((ordered, [buckets[b] for b in ordered]))
+        # Emit only buckets the watermark has NOT passed: those are the
+        # still-mutable ones, and exactly they have their full baseline
+        # retained (cutoff = wm_day - baseline). A bucket behind the
+        # watermark is FINAL — its last emission (made while it was
+        # admissible, with complete baselines) stands; recomputing it
+        # here against a partially-evicted baseline would supersede a
+        # correct row with an undercounted one.
+        emit_floor = wm_ms // 86_400_000 if wm_ms > 0 else None
+        rows = []
+        for b in sorted(buckets):
+            if emit_floor is not None and b < emit_floor:
+                continue
+            base = sum(
+                buckets.get(p, 0) for p in range(b - baseline_buckets, b)
+            )
+            cur = buckets[b]
+            spike = (
+                base >= min_baseline
+                and cur * baseline_buckets * 10000 > factor_bp * base
+            )
+            rows.append((key[0], b, cur, base, spike))
+        yield pd.DataFrame(
+            rows,
+            columns=["key", "bucket_idx", "n_events", "baseline_sum", "is_spike"],
+        )
+
+    return (
+        # NTZ sources (the driver parquet) must cast for event-time
+        # watermarks; session TZ is pinned UTC so the cast is identity
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SPIKE_OUT_SCHEMA,
+            stateStructType=_SPIKE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
