@@ -1040,6 +1040,18 @@ def q_rate_spikes(spark, sf_dir):
     return rate_spikes(ev, **SPIKE_PARAMS)
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Day-cohort retention matrix (operators/analytics.cohort_retention):
+    each user's cohort is their first active day; cells count users
+    active at each (cohort_day, offset_day) — ONE key shuffle
+    (map-side-combined collect_set of day indices, horizon-bounded) +
+    narrow explode + small final aggregate; integer-exact."""
+    from vaero_spark.operators.analytics import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev)
+
+
 def q_stream_spikes(spark, sf_dir):
     """Streaming rate-spike detection: the same rule on a LIVE stream
     (applyInPandasWithState, watermark-bounded per-key bucket state,
@@ -1154,12 +1166,12 @@ def q_mm_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
-    50 entries. With 68 gate queries, coverage ROTATES (VERDICT r4 #2):
-    the queries outside round 4's window lead this round, the 8 new
+    50 entries. With 69 gate queries, coverage ROTATES (VERDICT r4 #2):
+    the queries outside round 4's window lead this round, the 9 new
     round-5 ops sit in-window for their first correctness row, and the
-    18 now past position 50 each carry 2+ rounds of green driver
+    19 now past position 50 each carry 2+ rounds of green driver
     history AND stay in the full local replay (``tools/check_oracle.py``
-    runs all 68) — every operator family keeps an in-window
+    runs all 69) — every operator family keeps an in-window
     representative."""
     return {
         # -- rotated IN (formally untested in CORRECTNESS_r04) --------
@@ -1175,7 +1187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- in-window representatives of every family ----------------
         "t_rename_delete": q_t_rename_delete,
         "t_filter_regexp": q_t_filter,
-        "t_parse_regexp": q_t_parse,
         "route_branch": q_route,
         "w_tumbling": q_w_tumbling,
         "w_session": q_w_session,
@@ -1215,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_funnel": q_conv_funnel,
         "rate_spikes": q_rate_spikes,
         "stream_spikes": q_stream_spikes,
+        "cohort_retention": q_cohort_retention,
         # -- past the 50-entry window this round (rotated OUT; each is
         #    2+ rounds driver-green, each family still covered above:
         #    t_sample→corpus_sample, t_annotate→txt_quality/langid,
@@ -1235,9 +1247,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family; r3-r4 driver-green),
         #    stream_counters+stream_open_sessions→stream_spikes (the
         #    applyInPandasWithState custom-state family; r3-r4 green)
+        #    t_parse_regexp→t_filter_regexp (regex-transform family;
+        #    r1-r4 driver-green — rotated out to keep the new
+        #    cohort_retention inside the 50-entry window)
         "t_add": q_t_add,
         "t_select": q_t_select,
         "t_mask": q_t_mask,
+        "t_parse_regexp": q_t_parse,
         "http_ingest": q_http_ingest,
         "stream_open_sessions": q_stream_open_sessions,
         "mm_frames": q_mm_frames,
@@ -1359,6 +1375,7 @@ from vaero_spark.operators.curate import decontaminate_sql as _decontam_sql
 from vaero_spark.operators.curate import pii_scrub_sql as _pii_sql
 from vaero_spark.operators.curate import strip_boilerplate_sql as _boiler_sql
 from vaero_spark.operators.search import bm25_sql as _bm25_sql
+from vaero_spark.operators.analytics import cohort_retention_sql as _retention_sql
 from vaero_spark.operators.analytics import funnel_sql as _funnel_sql
 from vaero_spark.operators.analytics import rate_spikes_sql as _spikes_sql
 
@@ -1677,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming spikes drain to the SAME rows as the batch window op
         # — the watermark-bounded bucket state gets an exact oracle
         "stream_spikes": f"WITH {_spikes_sql('events', **SPIKE_PARAMS)}",
+        "cohort_retention": f"WITH {_retention_sql('events')}",
         "dedup_simhash": f"{_D} {TXT.simhash_sql('documents_nd')}",
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         # auto-banded run at the fixture estimate must equal the pinned

@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vaero_spark.operators.analytics import (
+    cohort_retention,
     funnel,
     rate_spikes,
     stream_rate_spikes,
@@ -68,6 +69,48 @@ def test_funnel_counts_monotone_on_fixture(spark, sf_dir):
 def test_funnel_rejects_empty_stages(spark):
     with pytest.raises(ValueError):
         funnel(spark.range(1), [])
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_handcrafted(spark):
+    # u1 first active day 1, also active days 2 and 4 (twice — distinct
+    # days, not events); u2 first active day 1, never returns; u3 first
+    # active day 2, returns day 3.
+    rows = [
+        (0, _ts(1), 1), (1, _ts(2), 1), (2, _ts(4), 1), (3, _ts(4, 5), 1),
+        (4, _ts(1, 3), 2),
+        (5, _ts(2), 3), (6, _ts(3), 3),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    d1 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    got = {
+        (r.cohort_day, r.offset_day): r.n_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        (d1, 0): 2,      # u1 + u2 start day 1
+        (d1, 1): 1,      # only u1 returns next day
+        (d1, 3): 1,      # u1 day 4 (deduped within the day)
+        (d1 + 1, 0): 1,  # u3 starts day 2
+        (d1 + 1, 1): 1,  # u3 returns day 3
+    }
+
+
+def test_cohort_retention_matrix_invariants_on_fixture(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cohort_retention(ev).collect()
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    # cell counts over the whole matrix sum to the distinct (key, day)
+    # activity count, offsets are non-negative, and offset-0 cells sum
+    # to the number of distinct keys (every key is in exactly one cohort)
+    assert sum(r.n_users for r in out) == ev.select("user_id", day).distinct().count()
+    assert all(r.offset_day >= 0 for r in out)
+    n_keys = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in out if r.offset_day == 0) == n_keys
 
 
 # ---------------------------------------------------------------------------

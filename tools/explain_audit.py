@@ -96,6 +96,12 @@ CHECKS = {
     # integer-RANGE window — partitioned by key, never a whole-table
     # single-partition window
     "rate_spikes": (["Window"], ["CartesianProduct", "Window whole"]),
+    # cohort retention: ONE key shuffle (partial collect_set) + explode
+    # + small final agg — no join, no window, no all-pairs
+    "cohort_retention": (
+        ["ObjectHashAggregate", "Generate"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
 }
 
 

@@ -1,7 +1,8 @@
-"""Conversation/event analytics: funnels and rate-spike anomaly detection.
+"""Conversation/event analytics: funnels, cohort retention, and
+rate-spike anomaly detection.
 
-Two classic event-analytics primitives every production analytics engine
-ships and the reference engine lacks (its pipeline is per-event
+Three classic event-analytics primitives every production analytics
+engine ships and the reference engine lacks (its pipeline is per-event
 transform + sink, ``/root/reference/execute/transformNode.go:14-35``):
 
 - **Funnel analysis** (:func:`funnel`): how many conversations progress
@@ -9,6 +10,11 @@ transform + sink, ``/root/reference/execute/transformNode.go:14-35``):
   occurs at a turn strictly AFTER the turn where stage *k-1* was first
   reached. The per-stage conversation counts are monotone
   non-increasing; the drop-off between rows is the product insight.
+
+- **Cohort retention** (:func:`cohort_retention`): each key's cohort
+  is its first active day; matrix cells count keys active at each
+  (cohort_day, offset_day). Offset-0 cells carry the cohort sizes, so
+  the retention ratio stays a downstream integer division.
 
 - **Rate-spike detection** (:func:`rate_spikes`,
   :func:`stream_rate_spikes`): per-key event counts in fixed time
@@ -129,6 +135,67 @@ def funnel_sql(
         for i, (name, _) in enumerate(stages)
     ]
     return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-cohort retention matrix: each key's cohort is its FIRST
+    active day; for every ``(cohort_day, offset_day)`` cell, count the
+    keys active ``offset_day`` days after their cohort day. ``offset_day
+    = 0`` rows carry the cohort sizes, so the retention *ratio* is a
+    downstream integer division the caller controls (no floats here —
+    the repo parity rule).
+
+    Distributed shape: ONE shuffle on the key (``collect_set`` of
+    active day indices is map-side partially aggregated, and its size
+    is bounded by the day horizon, not the event count), then a narrow
+    explode, then one final aggregate on the (cohort, offset) pairs —
+    whose cardinality is O(horizon²), trivially small at any corpus
+    scale. This beats the distinct→min→self-join plan (3 key shuffles)
+    and never materializes per-event state.
+    """
+    day = F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+    per_key = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.array_sort(F.collect_set(day)).alias("days")
+    )
+    exploded = per_key.select(
+        F.element_at("days", 1).alias("cohort_day"),
+        F.explode("days").alias("day_idx"),
+    )
+    return (
+        exploded.groupBy(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            (F.col("day_idx") - F.col("cohort_day")).cast("long").alias("offset_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def cohort_retention_sql(
+    table_expr: str, key_col: str = "user_id", ts_col: str = "ts"
+) -> str:
+    """DuckDB twin of :func:`cohort_retention` (caller supplies
+    ``WITH``): distinct active days → per-key min → join — the classic
+    SQL plan, row-identical to the collect_set shape."""
+    day = f"date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE))"
+    return f"""
+    ret_active AS (
+      SELECT DISTINCT {key_col} AS key, {day} AS day_idx
+      FROM {table_expr}),
+    ret_cohort AS (
+      SELECT key, MIN(day_idx) AS cohort_day FROM ret_active GROUP BY 1)
+    SELECT c.cohort_day, a.day_idx - c.cohort_day AS offset_day,
+           COUNT(*) AS n_users
+    FROM ret_active a JOIN ret_cohort c USING (key)
+    GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
