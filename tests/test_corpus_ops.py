@@ -760,3 +760,132 @@ def test_repetition_columns_separate_degenerate_text(spark):
     assert got[2].uniq_token_bp == 10000     # all distinct
     assert got[1].uniq_shingle_bp < got[2].uniq_shingle_bp
     assert got[3].uniq_line_bp == 5000       # 2 distinct of 4
+
+
+# ---------------------------------------------------------------------------
+# duplicate-passage coverage
+# ---------------------------------------------------------------------------
+
+def test_dup_passage_planted_copy_reads_full_coverage(spark):
+    """A doc fully copied into another reads ~10000 bp; a unique doc
+    reads 0; a half-copied doc reads the exact passage fraction."""
+    body = " ".join(f"w{i}" for i in range(16))
+    other = " ".join(f"x{i}" for i in range(16))
+    half = " ".join(f"w{i}" for i in range(8)) + " " + " ".join(f"y{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, other), (4, half)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in DD.dup_passage_coverage(df, k=4).collect()}
+    assert rows[1].dup_bp == 10000 and rows[2].dup_bp == 10000
+    assert rows[3].dup_bp == 0
+    # doc 4: 13 distinct 4-token passages, the 5 fully inside w0..w7
+    # also occur in docs 1/2 -> floor(10000*5/13)
+    assert rows[4].n_passages == 13
+    assert rows[4].n_dup == 5
+    assert rows[4].dup_bp == 10000 * 5 // 13
+
+
+def test_dup_passage_short_and_empty_docs_survive(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "only two"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in DD.dup_passage_coverage(df, k=4).collect()}
+    # shorter-than-k docs yield ONE short passage; identical short docs
+    # still count as duplicated
+    assert rows[1].n_passages == 1 and rows[1].dup_bp == 10000
+    assert rows[3].n_passages == 1 and rows[3].dup_bp == 0
+
+
+# ---------------------------------------------------------------------------
+# percentile quality gate
+# ---------------------------------------------------------------------------
+
+def test_quality_gate_exact_percentile_with_ties(spark):
+    """Threshold = smallest score with 100*cum >= pct*n; ties AT the
+    threshold all survive. 4 docs scoring (10,20,20,30)*... -> with
+    drop_pct=50, T is the score where cum first reaches 2 of 4."""
+    from vaero_spark.operators.curate import quality_percentile_gate
+
+    # craft texts whose quality_bp orders deterministically: more 'the'
+    # stopwords -> higher stop_bp -> higher quality
+    mk = lambda n_stop, n_fill: " ".join(["the"] * n_stop + ["zz"] * n_fill)
+    df = spark.createDataFrame(
+        [(1, "en", mk(0, 10)), (2, "en", mk(5, 5)), (3, "en", mk(5, 5)),
+         (4, "en", mk(10, 0))],
+        ["doc_id", "lang", "text"],
+    )
+    kept = quality_percentile_gate(df, drop_pct=50).collect()
+    ids = sorted(r.doc_id for r in kept)
+    # doc1 (lowest) drops; docs 2,3 tie at the threshold and survive
+    assert ids == [2, 3, 4]
+
+
+def test_quality_gate_is_per_language(spark):
+    """A language whose docs all score identically keeps everything
+    (ties at the threshold); gating never leaks across languages — the
+    low-scoring bb doc would survive bb's own 25% cut but not a global
+    one against aa's high scores."""
+    from vaero_spark.operators.curate import quality_percentile_gate
+
+    mk = lambda n_stop, n_fill: " ".join(["the"] * n_stop + ["zz"] * n_fill)
+    df = spark.createDataFrame(
+        [(1, "aa", mk(2, 2)), (2, "aa", mk(2, 2)),
+         (3, "bb", mk(0, 4)), (4, "bb", mk(1, 3)),
+         (5, "bb", mk(2, 2)), (6, "bb", mk(4, 0))],
+        ["doc_id", "lang", "text"],
+    )
+    kept = sorted(r.doc_id for r in quality_percentile_gate(df, drop_pct=50).collect())
+    # aa: both docs tie -> the tie IS the threshold, both survive.
+    # bb: 4 distinct scores, target = 2 of 4 -> threshold is the 2nd
+    # lowest score; only the strictly-below doc 3 drops.
+    assert kept == [1, 2, 4, 5, 6]
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction
+# ---------------------------------------------------------------------------
+
+def test_pair_merges_count_every_occurrence_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    rows = TXT.pair_merge_topk(df, k=10).collect()
+    by_pair = {r.pair: (r.n, r.rank) for r in rows}
+    assert by_pair["a b"] == (3, 1)  # 2 in doc1 + 1 in doc2
+    assert by_pair["b a"] == (2, 2)
+    assert by_pair["b c"] == (1, 3)  # count tie broken by pair ASC
+    assert "x" not in by_pair  # 1-token docs contribute no pair
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    from vaero_spark.operators.assemble import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")], ["doc_id", "text"])
+    out = chunk_tokens(df, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc1: 10 tokens, starts at 0,3,6 fill full windows, start 9 is the
+    # tail -> 1 + ceil((10-4)/3) = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in c1] == [4, 4, 4]
+    # short and empty docs keep exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 1
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 0
+
+
+def test_chunk_tokens_tail_chunk_is_partial(spark):
+    from vaero_spark.operators.assemble import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(11))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = sorted(chunk_tokens(df, chunk_size=4, stride=3).collect(),
+                 key=lambda r: r.chunk_idx)
+    # 11 tokens -> 1 + ceil(7/3) = 4 chunks; last starts at token 10
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 2]

@@ -102,6 +102,23 @@ CHECKS = {
         ["ObjectHashAggregate", "Generate"],
         ["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # duplicate-passage coverage: passage df groupBy + equi-join back on
+    # the passage + per-doc agg — candidate-sized, never doc×doc, and
+    # the corpus-sized df table gets no broadcast hint
+    "dedup_passage": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # percentile quality gate: the #langs-row threshold table MUST
+    # broadcast into the corpus filter; the cumulative window runs on
+    # the bounded histogram, never the corpus
+    "quality_gate": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # BPE merge induction: distributed top-k over the pair counts,
+    # never a global sort
+    "vocab_merges": (["TakeOrderedAndProject"], ["CartesianProduct"]),
+    # token-window chunking: pure narrow per-row expressions —
+    # strictly shuffle-free
+    "chunk_rag": ([], ["Exchange", "CartesianProduct"]),
 }
 
 

@@ -238,6 +238,56 @@ def token_topk_sql(table: str = "documents", text_col: str = "text", k: int = TO
 
 
 # ---------------------------------------------------------------------------
+# BPE merge induction (adjacent-pair heavy hitters)
+# ---------------------------------------------------------------------------
+
+TOPK_MERGES = 50
+
+
+def pair_merge_topk(df, text_col: str = "text", k: int = TOPK_MERGES):
+    """Top-``k`` adjacent-token PAIRS by corpus occurrence count — the
+    merge-candidate scoring step of BPE-style tokenizer induction (one
+    merge round: the highest-count pair is the next merge; re-run after
+    applying merges for the full loop). Counts every occurrence, not
+    distinct-per-doc — BPE frequency semantics. Deterministic (count
+    DESC, pair ASC) tiebreak.
+
+    Distributed shape: identical to :func:`token_topk` at pair
+    granularity — adjacent pairs are exactly 2-token shingles (narrow
+    HOF; the token array materialized first per the module PERFORMANCE
+    RULE), docs with < 2 tokens contribute nothing (a 2-shingle of a
+    short doc has no space and is filtered before the shuffle) →
+    map-side-combined groupBy on the pair → distributed top-k
+    (``TakeOrderedAndProject``, never a global sort)."""
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(shingles(tokens(text_col), 2).alias("_p"))
+        .select(F.explode("_p").alias("pair"))
+        .filter(F.col("pair").contains(" "))
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "pair").limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def pair_merge_topk_sql(
+    table: str = "documents", text_col: str = "text", k: int = TOPK_MERGES
+) -> str:
+    sh2 = shingles_sql(tokens_sql(text_col), 2)
+    return f"""
+        SELECT pair, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank
+        FROM (
+          SELECT p.pr AS pair, COUNT(*) AS n
+          FROM {table}, unnest({sh2}) AS p(pr)
+          WHERE p.pr LIKE '% %'
+          GROUP BY 1
+        ) QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
 # corpus composition report (per-language rollup)
 # ---------------------------------------------------------------------------
 

@@ -188,3 +188,97 @@ def pack_sequences_sql(
       FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
     SELECT doc_id, shard, CAST(seq_idx AS INTEGER) AS seq_idx, n_tokens
     FROM pack"""
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking (long-doc splitting for RAG / context windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = size - stride)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into OVERLAPPING token-window chunks — the
+    long-document splitting step of RAG indexing and context-window
+    training prep (``corpus_pack`` concatenates short docs up to a
+    budget; this is its inverse for docs LONGER than the window —
+    together they normalize a corpus to sequence length). Chunk ``i``
+    covers tokens ``[i·stride + 1, i·stride + chunk_size]``; every doc
+    yields ``1 + ceil((n - chunk_size) / stride)`` chunks (min 1 — short
+    and empty docs keep exactly one, so the op never drops rows).
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_md5) — integer/string
+    exact (chunk text is hashed, sizes computed arithmetically, no
+    floats anywhere).
+
+    100 TB shape: pure narrow per-row expressions (token array
+    materialized once per the functions/text.py PERFORMANCE RULE, chunk
+    structs built by one HOF over precomputed chunk indices, then
+    ``inline``) — shuffle-free, whole-stage codegen, output rows ≈
+    input tokens / stride. Chunk sizes come from arithmetic
+    (``least(chunk_size, n - i·stride)``), never a second slice.
+    """
+    cs, st = int(chunk_size), int(stride)
+    if cs < 1 or st < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    from vaero_spark.functions.text import tokens
+
+    base = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_tok", tokens(text_col))
+        .withColumn("_n", F.size("_tok").cast("long"))
+    )
+    n_chunks = F.when(F.col("_n") <= cs, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.expr(f"CAST((_n - {cs} + {st} - 1) div {st} AS BIGINT)")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.least(F.lit(cs).cast("long"), F.col("_n") - i * st).alias(
+                "n_chunk_tokens"
+            ),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("_tok"), (i * st + 1).cast("int"), cs), " "
+                )
+            ).alias("chunk_md5"),
+        ),
+    )
+    return base.select(F.col(id_col), F.inline(chunks))
+
+
+def chunk_tokens_sql(
+    docs_table: str = "documents",
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`chunk_tokens`. ``//`` mirrors Spark's
+    ``div`` (identical on the non-negative operands here); list slice
+    bounds are inclusive, so ``chunk_size`` elements span
+    ``[i·st+1, i·st+cs]``."""
+    from vaero_spark.functions.text import tokens_sql
+
+    cs, st = int(chunk_size), int(stride)
+    tok = tokens_sql(text_col)
+    return f"""
+    base AS (SELECT {id_col}, {tok} AS tok FROM {docs_table}),
+    sized AS (SELECT {id_col}, tok, CAST(len(tok) AS BIGINT) AS n FROM base),
+    ch AS (SELECT {id_col}, tok, n,
+                  CASE WHEN n <= {cs} THEN 1
+                       ELSE 1 + (n - {cs} + {st} - 1) // {st} END AS n_chunks
+           FROM sized)
+    SELECT {id_col},
+           CAST(g.i AS INTEGER) AS chunk_idx,
+           CAST(least({cs}, n - g.i * {st}) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(tok[g.i * {st} + 1 : g.i * {st} + {cs}], ' ')) AS chunk_md5
+    FROM ch, unnest(generate_series(0, n_chunks - 1)) AS g(i)"""

@@ -93,6 +93,107 @@ def neardup_keep(
 
 
 # ---------------------------------------------------------------------------
+# per-language exact percentile quality gate (bounded-histogram two-pass)
+# ---------------------------------------------------------------------------
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    drop_pct: int = 25,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop each language's bottom ``drop_pct`` percent by quality score
+    — the RELATIVE quality gate (curate_documents' absolute threshold
+    doesn't transfer across languages/domains whose score distributions
+    differ; production pipelines cut per-stratum percentiles instead).
+
+    EXACT percentile semantics without a corpus sort: ``quality_bp`` has
+    a BOUNDED integer domain ([0, 10000]), so per-language document
+    counts per score value form a histogram of at most
+    ``n_langs × 10001`` rows. The threshold for a language is the
+    smallest score ``T`` with ``100·cum(T) ≥ drop_pct·n_lang`` (cum =
+    docs scoring ≤ T); docs scoring < T drop, ties AT the threshold all
+    survive — deterministic and partition/cluster-size independent
+    (never ``approxQuantile``, whose result is neither).
+
+    100 TB shape: two narrow passes over the corpus — (1) score +
+    map-side-combined groupBy(lang, score) into the bounded histogram
+    (the only corpus-sized shuffle, output ≤ langs×10001 rows); the
+    cumulative window and threshold min run on the HISTOGRAM, never the
+    corpus; (2) score + filter against the broadcast threshold table
+    (#langs rows — a justified broadcast, unlike the corpus-sized
+    dedup_keep drop-list). Integer-exact throughout: the percentile
+    rule is a cross-multiplication, no division anywhere.
+    """
+    from pyspark.sql import Window
+
+    tok = tokens(text_col)
+
+    def scored(d: DataFrame) -> DataFrame:
+        d = d.withColumn("_tok", tok)
+        q = quality_columns(text_col, tok=F.col("_tok"))
+        return d.select(id_col, lang_col, q["quality_bp"].alias("quality_bp"))
+
+    hist = (
+        scored(df)
+        .groupBy(lang_col, "quality_bp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(lang_col).orderBy("quality_bp")
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    tot = hist.groupBy(lang_col).agg(F.sum("n").alias("n_lang"))
+    thr = (
+        cum.join(tot, lang_col)
+        .filter(F.lit(100) * F.col("cum") >= F.lit(drop_pct) * F.col("n_lang"))
+        .groupBy(lang_col)
+        .agg(F.min("quality_bp").alias("thr"))
+    )
+    return (
+        scored(df)
+        .join(F.broadcast(thr), lang_col)
+        .filter(F.col("quality_bp") >= F.col("thr"))
+        .select(id_col, lang_col, "quality_bp")
+    )
+
+
+def quality_percentile_gate_sql(
+    docs_table: str = "documents",
+    drop_pct: int = 25,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`quality_percentile_gate`. Every aggregate
+    is cast OUTSIDE (DuckDB SUM(BIGINT) → HUGEINT → pandas float64
+    otherwise); the window cumsum gets the same outer cast."""
+    from vaero_spark.functions.text import quality_sql
+
+    return f"""
+    scored AS (
+      SELECT {id_col}, {lang_col}, quality_bp
+      FROM (SELECT {id_col}, {lang_col}, {quality_sql()} FROM {docs_table})),
+    hist AS (
+      SELECT {lang_col}, quality_bp, CAST(count(*) AS BIGINT) AS n
+      FROM scored GROUP BY 1, 2),
+    cum AS (
+      SELECT {lang_col}, quality_bp, n,
+             CAST(sum(n) OVER (PARTITION BY {lang_col} ORDER BY quality_bp)
+                  AS BIGINT) AS cum
+      FROM hist),
+    tot AS (SELECT {lang_col}, CAST(sum(n) AS BIGINT) AS n_lang
+            FROM hist GROUP BY {lang_col}),
+    thr AS (
+      SELECT c.{lang_col}, min(c.quality_bp) AS thr
+      FROM cum c JOIN tot t USING ({lang_col})
+      WHERE 100 * c.cum >= {drop_pct} * t.n_lang
+      GROUP BY c.{lang_col})
+    SELECT s.{id_col}, s.{lang_col}, s.quality_bp
+    FROM scored s JOIN thr USING ({lang_col})
+    WHERE s.quality_bp >= thr"""
+
+
+# ---------------------------------------------------------------------------
 # eval-set decontamination (n-gram overlap against a blocklist corpus)
 # ---------------------------------------------------------------------------
 

@@ -48,6 +48,12 @@ from vaero_spark.sources.corpus import quantized
 # needs no corpus-wide count() action to compute.
 STOP_SHINGLE_MAX_DF = 50
 
+# Passage length (tokens) for duplicate-passage coverage: longer than
+# the 3-word dedup shingle — passage copying is a long-span phenomenon
+# and short spans saturate over formulaic text (see
+# :func:`dup_passage_coverage`).
+PASSAGE_K = 8
+
 # The shingle inverted index each LSH op builds is persisted (it feeds
 # both candidate generation and exact verification — a diamond), but the
 # op returns a LAZY DataFrame, so it cannot unpersist after its own
@@ -462,6 +468,87 @@ def embedding_neardup_pairs(
         _sim_e4(_int_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("sim_e4"),
     )
     return pairs.filter(F.col("sim_e4") >= min_sim_e4)
+
+
+def dup_passage_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    k: int = PASSAGE_K,
+) -> DataFrame:
+    """Per-document DUPLICATE-PASSAGE coverage — the exact-substring
+    dedup signal (Lee et al., ACL'22 "Deduplicating Training Data Makes
+    Language Models Better") at k-token passage granularity: the share
+    of a document's distinct k-token passages that also occur in at
+    least ``min_df - 1`` OTHER documents, in basis points. Near-dup ops
+    (`minhash_lsh_pairs` et al.) answer "which DOCUMENT pairs are
+    copies"; this answers "how much of EACH document is copied text" —
+    the per-doc filter signal a curation pass thresholds on (a doc that
+    is 80% duplicated passages is boilerplate-stitched even when no
+    single pair crosses a Jaccard bar). No reference counterpart
+    (nearest seed: the cursor ``>=`` gate,
+    ``/root/reference/integrations/python/source_okta.py:91-113``).
+
+    Output: (id, n_passages, n_dup, dup_bp) for every input doc —
+    integer-exact (counts + a floor-quantized correctly-rounded
+    division mirrored token-for-token in the SQL twin).
+
+    100 TB shape: explode distinct passages (narrow) → ONE map-side-
+    combined groupBy on the passage text for document frequencies →
+    equi-join back on the passage (co-partitioned with the groupBy —
+    Catalyst reuses the exchange) → per-doc aggregate. Work is
+    passage-count-sized; no doc×doc pairs anywhere. The df table is
+    corpus-sized, so it gets NO broadcast hint (the ``dedup_keep``
+    lesson) — AQE decides at runtime.
+
+    ``k`` defaults to :data:`PASSAGE_K` (longer than the 3-word dedup
+    shingle): passage-level copying is a longer-span phenomenon than
+    shingle overlap, and short k over formulaic text saturates the
+    signal (every doc shares 3-grams; few share 8-grams by accident).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(text_col), k))).alias("shingle"),
+    )
+    pdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pdf"))
+    ann = sh.join(pdf, "shingle")
+    per_doc = ann.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("pdf") >= min_df, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_passages",
+        "n_dup",
+        F.floor(F.lit(10000) * F.col("n_dup") / F.col("n_passages"))
+        .cast("long")
+        .alias("dup_bp"),
+    )
+
+
+def dup_passage_coverage_sql(docs_cte: str, min_df: int = 2, k: int = PASSAGE_K) -> str:
+    """DuckDB twin of :func:`dup_passage_coverage` over a CTE/table of
+    (doc_id, text). SUM casts OUTSIDE the aggregate (DuckDB SUM(BIGINT)
+    → HUGEINT → pandas float64 otherwise); the dup_bp division mirrors
+    Spark's bigint·int → double token-for-token."""
+    from vaero_spark.functions.text import shingles_sql, tokens_sql
+
+    sh = shingles_sql(tokens_sql("text"), k)
+    return f"""
+    sh AS (SELECT DISTINCT doc_id, unnest({sh}) AS shingle FROM {docs_cte}),
+    pdf AS (SELECT shingle, count(*) AS pdf FROM sh GROUP BY shingle),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_passages,
+             CAST(sum(CASE WHEN p.pdf >= {min_df} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM sh s JOIN pdf p USING (shingle)
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_passages, n_dup,
+           CAST(floor(10000 * n_dup / n_passages) AS BIGINT) AS dup_bp
+    FROM per_doc"""
 
 
 def embedding_dup_groups(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
