@@ -1069,6 +1069,53 @@ def q_conv_funnel(spark, sf_dir):
     return funnel(load_transcripts(spark, sf_dir), stages)
 
 
+def q_stream_funnel(spark, sf_dir):
+    """Streaming funnel (operators/analytics.stream_funnel): track each
+    conversation's user → assistant → tool → system stage progression
+    AS TURNS ARRIVE, out-of-order micro-batches included. Stage
+    predicates evaluate JVM-side into one bitmask per turn; state per
+    conversation is its stage-relevant (ord, mask) pairs with idle
+    eviction. The drained last emission per conversation must equal the
+    batch funnel_membership rows — an EXACT SQL oracle for the stateful
+    op (the stream_cep / stream_spikes pairing)."""
+    import tempfile
+
+    from vaero_spark.operators.analytics import stream_funnel
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_sfun_")
+    inp = _gate_stream_input(spark, sf_dir, "plain")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        stream_funnel(
+            src,
+            [F.col("role") == r for r in FUNNEL_ROLES],
+            watermark="60 days",
+        )
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: the last full vector per conversation wins
+    for epoch_id, rows in sorted(sink.batches):
+        staged: dict = {}
+        for r in rows:
+            staged.setdefault(r.conv_id, []).append(r)
+        for conv, rs in staged.items():
+            final[conv] = rs
+    out = [(r.conv_id, r.stage, r.first_ord) for rs in final.values() for r in rs]
+    return spark.createDataFrame(out, "conv_id string, stage int, first_ord long")
+
+
 def q_rate_spikes(spark, sf_dir):
     """Rate-spike detection (operators/analytics.rate_spikes): per-user
     daily event counts vs the trailing 3-day baseline, flagged by
@@ -1206,12 +1253,12 @@ def q_mm_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
-    50 entries. With 73 gate queries, coverage ROTATES (VERDICT r4 #2):
-    the queries outside round 4's window lead this round, the 13 new
+    50 entries. With 74 gate queries, coverage ROTATES (VERDICT r4 #2):
+    the queries outside round 4's window lead this round, the 14 new
     round-5 ops sit in-window for their first correctness row, and the
-    23 now past position 50 each carry 2+ rounds of green driver
+    24 now past position 50 each carry 2+ rounds of green driver
     history AND stay in the full local replay (``tools/check_oracle.py``
-    runs all 73) — every operator family keeps an in-window
+    runs all 74) — every operator family keeps an in-window
     representative."""
     return {
         # -- rotated IN (formally untested in CORRECTNESS_r04) --------
@@ -1238,7 +1285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_ingest": q_s3_ingest,
         "api_paginated": q_api_paginated,
         "txt_quality": q_txt_quality,
-        "txt_fingerprint": q_txt_fingerprint,
         "txt_topk_tokens": q_txt_topk_tokens,
         "corpus_stats": q_corpus_stats,
         "conv_assemble": q_conv_assemble,
@@ -1264,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_spikes": q_stream_spikes,
         "cohort_retention": q_cohort_retention,
         "dedup_passage": q_dedup_passage,
+        "stream_funnel": q_stream_funnel,
         "quality_gate": q_quality_gate,
         "vocab_merges": q_vocab_merges,
         "chunk_rag": q_chunk_rag,
@@ -1297,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dedup_minhash→dedup_clusters/dedup_keep (the same
         #    MinHash+LSH+verify pipeline feeds both in-window ops;
         #    r2-r4 driver-green),
+        #    txt_fingerprint→txt_repetition (shingle-signal family,
+        #    same tokenize+shingle core; r2-r4 driver-green),
         #    w_session→w_tumbling (windows family; r2-r4 driver-green)
         "t_add": q_t_add,
         "t_select": q_t_select,
@@ -1321,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_langid": q_txt_langid,
         "dedup_minhash": q_dedup_minhash,
         "w_session": q_w_session,
+        "txt_fingerprint": q_txt_fingerprint,
     }
 
 
@@ -1430,6 +1480,7 @@ from vaero_spark.operators.curate import quality_percentile_gate_sql as _qgate_s
 from vaero_spark.operators.curate import strip_boilerplate_sql as _boiler_sql
 from vaero_spark.operators.search import bm25_sql as _bm25_sql
 from vaero_spark.operators.analytics import cohort_retention_sql as _retention_sql
+from vaero_spark.operators.analytics import funnel_membership_sql as _funnel_mem_sql
 from vaero_spark.operators.analytics import funnel_sql as _funnel_sql
 from vaero_spark.operators.analytics import rate_spikes_sql as _spikes_sql
 
@@ -1744,6 +1795,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_cep": f"{_T} {CEP.cep_match_sql('transcripts', CEP_STREAM_LITERAL)}",
         "conv_funnel": f"{_T},\n"
         + _funnel_sql("transcripts", [(r, f"role = '{r}'") for r in FUNNEL_ROLES]),
+        # streaming funnel drains to the batch per-conversation
+        # membership rows — the stateful op gets an exact oracle
+        "stream_funnel": f"{_T},\n"
+        + _funnel_mem_sql("transcripts", [(r, f"role = '{r}'") for r in FUNNEL_ROLES]),
         "rate_spikes": f"WITH {_spikes_sql('events', **SPIKE_PARAMS)}",
         # streaming spikes drain to the SAME rows as the batch window op
         # — the watermark-bounded bucket state gets an exact oracle

@@ -250,3 +250,111 @@ def test_stream_spikes_eviction_path_keeps_in_order_input_exact(spark, sf_dir):
         for r in rate_spikes(ev).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# funnel (streaming)
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_membership_aggregates_to_funnel_counts(spark, sf_dir):
+    from vaero_spark.operators.analytics import funnel_membership
+    from vaero_spark.sources.transcripts import load_transcripts
+
+    tr = load_transcripts(spark, sf_dir)
+    stages = [(r, F.col("role") == r) for r in ["user", "assistant", "tool"]]
+    counts = {r.stage: r.n_convs for r in funnel(tr, stages).collect()}
+    mem = funnel_membership(tr, stages)
+    got = {
+        r.stage: r.n for r in mem.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == counts and counts[1] > 0
+
+
+def _drain_funnel(spark, tr, stage_roles, n_files, watermark="60 days"):
+    from vaero_spark.operators.analytics import stream_funnel
+
+    work = tempfile.mkdtemp(prefix="vaero_t_sfun_")
+    tr.repartition(n_files, "turn_idx").write.parquet(f"{work}/in")
+    src = (
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+    sink = MemorySink()
+    q = (
+        stream_funnel(
+            src, [F.col("role") == r for r in stage_roles], watermark=watermark
+        )
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for epoch_id, batch_rows in sorted(sink.batches):
+        for r in batch_rows:
+            final[(r.conv_id, r.stage)] = r.first_ord
+    return final
+
+
+def test_stream_funnel_drain_equals_batch_out_of_order(spark, sf_dir):
+    from vaero_spark.operators.analytics import funnel_membership
+    from vaero_spark.sources.transcripts import load_transcripts
+
+    tr = load_transcripts(spark, sf_dir)
+    roles = ["user", "assistant", "tool"]
+    got = _drain_funnel(spark, tr, roles, n_files=5)
+    stages = [(r, F.col("role") == r) for r in roles]
+    want = {
+        (r.conv_id, r.stage): r.first_ord
+        for r in funnel_membership(tr, stages).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_funnel_late_earlier_turn_extends_the_chain(spark):
+    """A stage-1 hit arriving AFTER the stage-2 hit (stream order) must
+    still unlock stage 2 — per-conv state re-derives the greedy chain
+    from ALL retained turns, and reached stages only ever grow."""
+    rows = [
+        ("a", 2, "assistant", _ts(1, 2)),  # arrives first (file 0)
+        ("a", 1, "user", _ts(1, 1)),       # the earlier turn, arrives later
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    from vaero_spark.operators.analytics import stream_funnel
+
+    work = tempfile.mkdtemp(prefix="vaero_t_sfun_late_")
+    for i in range(2):
+        tr.filter(F.col("turn_idx") == 2 - i).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{work}/in")
+    src = (
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{work}/in")
+    )
+    sink = MemorySink()
+    q = (
+        stream_funnel(
+            src,
+            [F.col("role") == "user", F.col("role") == "assistant"],
+            watermark="60 days",
+        )
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for epoch_id, batch_rows in sorted(sink.batches):
+        for r in batch_rows:
+            final[(r.conv_id, r.stage)] = r.first_ord
+    assert final == {("a", 1): 1, ("a", 2): 2}

@@ -137,6 +137,184 @@ def funnel_sql(
     return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def funnel_membership(
+    transcripts: DataFrame,
+    stages: Sequence[Tuple[str, Column]],
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Per-conversation funnel membership: one row ``(conv_id, stage,
+    first_ord)`` for every stage a conversation reaches, with the FIRST
+    order position at which it did — the row-level form of
+    :func:`funnel` (whose counts are exactly ``GROUP BY stage`` over
+    this). Same chained conv-keyed plan; this is also the drain target
+    of :func:`stream_funnel`."""
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    outs: list[DataFrame] = []
+    reached: DataFrame | None = None
+    for i, (name, pred) in enumerate(stages):
+        hits = transcripts.filter(pred).select(
+            F.col(conv_col).alias("_conv"), F.col(order_col).alias("_ord")
+        )
+        if reached is not None:
+            hits = hits.join(reached, "_conv").filter(F.col("_ord") > F.col("_prev"))
+        reached = hits.groupBy("_conv").agg(F.min("_ord").alias("_prev"))
+        outs.append(
+            reached.select(
+                F.col("_conv").alias(conv_col),
+                F.lit(i + 1).cast("int").alias("stage"),
+                F.col("_prev").cast("long").alias("first_ord"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def funnel_membership_sql(
+    table_expr: str,
+    stages: Sequence[Tuple[str, str]],
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> str:
+    """DuckDB twin of :func:`funnel_membership` (same chained CTEs as
+    :func:`funnel_sql`, emitting the per-conversation rows)."""
+    ctes = []
+    for i, (name, where) in enumerate(stages):
+        if i == 0:
+            ctes.append(
+                f"s1 AS (SELECT {conv_col} AS _conv, MIN({order_col}) AS _prev\n"
+                f"  FROM {table_expr} WHERE {where} GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i + 1} AS (SELECT t.{conv_col} AS _conv, MIN(t.{order_col}) AS _prev\n"
+                f"  FROM {table_expr} t JOIN s{i} p ON t.{conv_col} = p._conv\n"
+                f"  WHERE ({where}) AND t.{order_col} > p._prev GROUP BY 1)"
+            )
+    selects = [
+        f"SELECT _conv AS {conv_col}, CAST({i + 1} AS INTEGER) AS stage,\n"
+        f"       CAST(_prev AS BIGINT) AS first_ord FROM s{i + 1}"
+        for i in range(len(stages))
+    ]
+    return ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (streaming)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ords", T.ArrayType(T.LongType())),
+        T.StructField("masks", T.ArrayType(T.LongType())),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+_FUNNEL_OUT_SCHEMA = "conv_id string, stage int, first_ord long"
+
+
+def stream_funnel(
+    stream: DataFrame,
+    stage_cols: Sequence[Column],
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    watermark: str = "60 days",
+    idle_timeout_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming form of :func:`funnel_membership`: track each LIVE
+    conversation's progression through ordered stages as turns arrive,
+    in any order.
+
+    ``stage_cols`` are boolean stage-predicate COLUMNS, evaluated
+    JVM-side BEFORE the stateful op and packed into one bitmask per
+    turn — Arrow ships (conv, ord, mask) only, and turns matching no
+    stage never reach Python at all. State per conversation is the
+    (ord, mask) pairs of its stage-relevant turns — bounded by
+    conversation length, the transcripts boundedness assumption the
+    reference's per-prefix sink buffers also make
+    (``/root/reference/execute/sinkNode.go:80-101``) — plus the
+    last-event time for idle eviction (armed through the shared
+    NaT-guarded helper; an idle conversation's state is dropped once
+    the watermark passes last-event + idle).
+
+    Each batch recomputes the greedy stage chain (stage *k*'s first hit
+    = the minimum ord strictly after stage *k-1*'s) and re-emits the
+    conversation's FULL reached-stage vector in update mode. Adding
+    turns can only extend the reached set and only move first hits
+    earlier (the feasible set for every stage grows monotonically), so
+    last-emission-wins needs no retractions, and the drained result
+    equals :func:`funnel_membership` exactly — the stateful streaming
+    op gets an EXACT SQL oracle, the ``stream_cep`` /
+    ``stream_spikes`` pairing.
+    """
+    from vaero_spark.operators.state import _arm_idle_timeout, _pdf_max_us
+
+    n = len(stage_cols)
+    if not n:
+        raise ValueError("stream_funnel needs at least one stage")
+    mask = F.lit(0).cast("long")
+    for i, c in enumerate(stage_cols):
+        mask = mask + F.when(c, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    pre = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(order_col).cast("long").alias("_ord"),
+            mask.alias("_mask"),
+            F.col(ts_col).alias("ts"),
+        )
+        .filter(F.col("_mask") != 0)
+    )
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # idle conversation: emissions were eager
+            state.remove()
+            return
+        ords, masks, last_us = state.get if state.exists else ([], [], 0)
+        turns = dict(zip(ords, masks))
+        for pdf in pdfs:
+            for o, m in zip(pdf["_ord"], pdf["_mask"]):
+                o = int(o)
+                turns[o] = turns.get(o, 0) | int(m)
+            if len(pdf):
+                last_us = _pdf_max_us(pdf, last_us)
+        items = sorted(turns.items())
+        state.update(([o for o, _ in items], [m for _, m in items], last_us))
+        _arm_idle_timeout(state, last_us, idle_timeout_seconds)
+        rows = []
+        prev = None
+        for k in range(n):
+            hit = next(
+                (
+                    o
+                    for o, m in items
+                    if (m >> k) & 1 and (prev is None or o > prev)
+                ),
+                None,
+            )
+            if hit is None:
+                break
+            rows.append((key[0], k + 1, hit))
+            prev = hit
+        out = pd.DataFrame(rows, columns=["conv_id", "stage", "first_ord"])
+        yield out.astype({"stage": "int32", "first_ord": "int64"})
+
+    return pre.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
 # ---------------------------------------------------------------------------
 # cohort retention
 # ---------------------------------------------------------------------------
