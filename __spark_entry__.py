@@ -910,6 +910,46 @@ def q_chunk_rag(spark, sf_dir):
     return chunk_tokens(CORPUS.load_documents(spark, sf_dir))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-snapshot exact dedup (operators/dedup.dedup_against): drop
+    documents whose text already exists by md5 in a reference snapshot
+    — the incremental-crawl step. Fixture: the near-dup table plays
+    today's crawl, every 4th base doc plays the ingested snapshot, so
+    exactly those originals drop while their appended-token near-dup
+    copies (different text, different hash) survive."""
+    new = CORPUS.documents_with_neardups(spark, sf_dir)
+    snap = CORPUS.load_documents(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    return DD.dedup_against(new, snap)
+
+
+def q_group_topk(spark, sf_dir):
+    """Skew-proof per-group top-k (operators/transforms.group_topk):
+    top-5 docs per language by quality score WITHOUT a per-group sort —
+    two-phase salted map-side top-k whose result is provably identical
+    to the row_number window plan (the oracle runs the window form, so
+    the gate IS the equivalence check)."""
+    d = CORPUS.load_documents(spark, sf_dir)
+    d = d.withColumn("_tok", TXT.tokens("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        TXT.quality_columns("text", tok=F.col("_tok"))["quality_bp"].alias(
+            "quality_bp"
+        ),
+    )
+    return TR.group_topk(scored, "lang", "quality_bp", "doc_id", k=5)
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (operators/windows.sessionize): assign
+    30-minute-gap sessions over the event log per user and aggregate
+    them — the row-level ELT sessionization with stable per-key session
+    numbering; millisecond-integer arithmetic end to end."""
+    from vaero_spark.operators.windows import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_pii_scrub(spark, sf_dir):
     """Composed PII scrub (operators/curate.pii_scrub): mask emails /
     IPv4 / long digit runs with per-category removal counts — narrow
@@ -1253,12 +1293,12 @@ def q_mm_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
-    50 entries. With 74 gate queries, coverage ROTATES (VERDICT r4 #2):
-    the queries outside round 4's window lead this round, the 14 new
+    50 entries. With 77 gate queries, coverage ROTATES (VERDICT r4 #2):
+    the queries outside round 4's window lead this round, the 17 new
     round-5 ops sit in-window for their first correctness row, and the
-    24 now past position 50 each carry 2+ rounds of green driver
+    27 now past position 50 each carry 2+ rounds of green driver
     history AND stay in the full local replay (``tools/check_oracle.py``
-    runs all 74) — every operator family keeps an in-window
+    runs all 77) — every operator family keeps an in-window
     representative."""
     return {
         # -- rotated IN (formally untested in CORRECTNESS_r04) --------
@@ -1279,16 +1319,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof": q_j_asof,
         "agg_salted": q_agg_salted,
         "q_pricing": q_pricing,
-        "stream_pipeline": q_stream_pipeline,
         "stream_dedup_wm": q_stream_dedup_wm,
         "stream_join": q_stream_join,
         "s3_ingest": q_s3_ingest,
-        "api_paginated": q_api_paginated,
         "txt_quality": q_txt_quality,
         "txt_topk_tokens": q_txt_topk_tokens,
         "corpus_stats": q_corpus_stats,
         "conv_assemble": q_conv_assemble,
-        "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "corpus_curate": q_corpus_curate,
@@ -1314,6 +1351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "vocab_merges": q_vocab_merges,
         "chunk_rag": q_chunk_rag,
+        "dedup_incremental": q_dedup_incremental,
+        "group_topk": q_group_topk,
+        "events_sessions": q_events_sessions,
         # -- past the 50-entry window this round (rotated OUT; each is
         #    2+ rounds driver-green, each family still covered above:
         #    t_sample→corpus_sample, t_annotate→txt_quality/langid,
@@ -1346,7 +1386,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r2-r4 driver-green),
         #    txt_fingerprint→txt_repetition (shingle-signal family,
         #    same tokenize+shingle core; r2-r4 driver-green),
-        #    w_session→w_tumbling (windows family; r2-r4 driver-green)
+        #    w_session→w_tumbling (windows family; r2-r4 driver-green),
+        #    stream_pipeline→stream_dedup_wm/stream_join/s3_ingest (the
+        #    streaming-pipeline + exactly-once-sink family; r1-r4
+        #    driver-green),
+        #    api_paginated→s3_ingest (exactly-once ingest-replay family;
+        #    r3-r4 driver-green),
+        #    dedup_exact_docs→dedup_incremental (exact md5-hash dedup
+        #    family, now represented by the cross-snapshot op; r2-r4
+        #    driver-green)
         "t_add": q_t_add,
         "t_select": q_t_select,
         "t_mask": q_t_mask,
@@ -1371,6 +1419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "w_session": q_w_session,
         "txt_fingerprint": q_txt_fingerprint,
+        "stream_pipeline": q_stream_pipeline,
+        "api_paginated": q_api_paginated,
+        "dedup_exact_docs": q_dedup_exact_docs,
     }
 
 
@@ -1474,6 +1525,7 @@ _DEDUP_KEEP_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
 # greedy token-budget packing, recursive-CTE twin of pack_sequences
 from vaero_spark.operators.assemble import pack_sequences_sql as _pack_sql
 from vaero_spark.operators.assemble import chunk_tokens_sql as _chunk_sql
+from vaero_spark.operators.windows import sessionize_sql as _sessionize_sql
 from vaero_spark.operators.curate import decontaminate_sql as _decontam_sql
 from vaero_spark.operators.curate import pii_scrub_sql as _pii_sql
 from vaero_spark.operators.curate import quality_percentile_gate_sql as _qgate_sql
@@ -1805,6 +1857,14 @@ def oracle_sql() -> dict[str, str]:
         "stream_spikes": f"WITH {_spikes_sql('events', **SPIKE_PARAMS)}",
         "cohort_retention": f"WITH {_retention_sql('events')}",
         "dedup_passage": f"{_D}, {DD.dup_passage_coverage_sql('documents_nd')}",
+        "dedup_incremental": f"""{_D},
+            snap AS (SELECT * FROM documents WHERE doc_id % 4 = 0)
+            {DD.dedup_against_sql('documents_nd', 'snap')}""",
+        "group_topk": f"""WITH scored AS (
+              SELECT doc_id, lang, quality_bp
+              FROM (SELECT doc_id, lang, {TXT.quality_sql()} FROM documents))
+            {TR.group_topk_sql('scored', 'lang', 'quality_bp', 'doc_id', k=5)}""",
+        "events_sessions": f"WITH {_sessionize_sql('events')}",
         "quality_gate": "WITH " + _qgate_sql(),
         "vocab_merges": TXT.pair_merge_topk_sql("documents"),
         "chunk_rag": "WITH " + _chunk_sql(),

@@ -889,3 +889,59 @@ def test_chunk_tokens_tail_chunk_is_partial(spark):
                  key=lambda r: r.chunk_idx)
     # 11 tokens -> 1 + ceil(7/3) = 4 chunks; last starts at token 10
     assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 2]
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_against_drops_only_snapshot_matches(spark):
+    new = spark.createDataFrame(
+        [(1, "kept text"), (2, "dup text"), (3, "dup text")], ["doc_id", "text"]
+    )
+    snap = spark.createDataFrame([(99, "dup text")], ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in DD.dedup_against(new, snap).collect())
+    # BOTH copies of the snapshot text drop (cross-snapshot dedup is a
+    # membership test, not within-corpus dedup); the fresh text survives
+    assert kept == [1]
+
+
+# ---------------------------------------------------------------------------
+# skew-proof per-group top-k
+# ---------------------------------------------------------------------------
+
+def test_group_topk_equals_window_plan(spark):
+    """The two-phase salted plan must equal row_number()-over-window
+    row-for-row, including the (order DESC, id ASC) tiebreak."""
+    import random
+
+    from pyspark.sql import Window
+    from vaero_spark.operators.transforms import group_topk
+
+    rng = random.Random(7)
+    rows = [(i, f"g{i % 3}", rng.randrange(10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+    got = {
+        (r.grp, r.rank): (r.doc_id, r.score)
+        for r in group_topk(df, "grp", "score", "doc_id", k=4, n_salts=8).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), "doc_id")
+    want = {
+        (r.grp, r.rank): (r.doc_id, r.score)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .collect()
+    }
+    assert got == want and len(want) == 12
+
+
+def test_group_topk_small_groups_emit_all_rows(spark):
+    from vaero_spark.operators.transforms import group_topk
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 3)], "doc_id long, grp string, score long"
+    )
+    out = group_topk(df, "grp", "score", "doc_id", k=10).collect()
+    assert sorted((r.grp, r.rank, r.doc_id) for r in out) == [
+        ("a", 1, 1), ("b", 1, 2)
+    ]

@@ -119,6 +119,19 @@ CHECKS = {
     # token-window chunking: pure narrow per-row expressions —
     # strictly shuffle-free
     "chunk_rag": ([], ["Exchange", "CartesianProduct"]),
+    # cross-snapshot dedup: hashes only cross the wire, one LeftAnti on
+    # md5 with no forced broadcast (snapshots are corpus-sized)
+    "dedup_incremental": (["LeftAnti"], ["CartesianProduct"]),
+    # per-group top-k WITHOUT a per-group sort: two-phase salted
+    # collect_list top-k — a Window (full per-group sort) in this plan
+    # means the skew-proof shape regressed to the straggler shape
+    "group_topk": (
+        ["ObjectHashAggregate"],
+        ["Window", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # sessionization: lag/cumsum window PARTITIONED by the key — never a
+    # whole-table single-partition window
+    "events_sessions": (["Window"], ["CartesianProduct", "Window whole"]),
 }
 
 

@@ -470,6 +470,42 @@ def embedding_neardup_pairs(
     return pairs.filter(F.col("sim_e4") >= min_sim_e4)
 
 
+def dedup_against(
+    new_df: DataFrame,
+    snapshot_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-SNAPSHOT exact dedup: drop documents whose text already
+    exists (by md5) in a reference snapshot — the incremental-crawl
+    step of a recurring pipeline (today's crawl deduped against the
+    corpus already ingested; ``exact_dedup`` is the WITHIN-corpus
+    sibling). Returns the kept manifest (id, text_md5).
+
+    100 TB shape: both sides project to (id, md5) narrow — the join
+    moves 16-byte hashes, never text bytes — then ONE left-anti
+    equi-join on the hash. NO broadcast hint: a snapshot is
+    corpus-sized by definition (the ``dedup_keep`` lesson); AQE
+    broadcasts only when the runtime size permits.
+    """
+    ref = snapshot_df.select(F.md5(F.col(text_col)).alias("text_md5")).distinct()
+    return (
+        new_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .join(ref, "text_md5", "left_anti")
+        .select(id_col, "text_md5")
+    )
+
+
+def dedup_against_sql(
+    new_cte: str, snapshot_cte: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`dedup_against` over two CTE/table names."""
+    return f"""
+    SELECT {id_col}, md5({text_col}) AS text_md5 FROM {new_cte} n
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {snapshot_cte} s WHERE md5(s.{text_col}) = md5(n.{text_col}))"""
+
+
 def dup_passage_coverage(
     df: DataFrame,
     id_col: str = "doc_id",

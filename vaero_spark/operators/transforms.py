@@ -252,3 +252,86 @@ def sample_stratified_sql(
         f"substring(md5(CAST({key} AS VARCHAR)), 31, 2) < "
         f"(CASE {whens} ELSE '{default}' END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-proof per-group top-k (two-phase salted map-side top-k)
+# ---------------------------------------------------------------------------
+
+
+def group_topk(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int = 5,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` DESC (ties broken by
+    ``id_col`` ASC) — "best k docs per language/domain", the per-group
+    ranking every curation report needs — WITHOUT a per-group sort.
+
+    The obvious window plan (``row_number() OVER (PARTITION BY group
+    ORDER BY ...)``  ) sorts every group in full; with few, huge groups
+    (languages over a web corpus) that is one straggler task per hot
+    group sorting billions of rows to keep 5. Instead, the classic
+    two-phase salted top-k: phase 1 groups on (group, salt =
+    hash(id) mod n_salts) and keeps each bucket's top-k via
+    ``slice(sort_array(collect_list(...)))`` — map-side combined, every
+    partial state capped at k structs; phase 2 merges the ≤ n_salts·k
+    survivors per group the same way. Every global top-k row is top-k
+    within its salt bucket (the total order makes the argument exact),
+    so the result equals the window plan row-for-row.
+
+    Output: (group, rank, id, order value) with the original column
+    names, integer-exact.
+    """
+    if k < 1 or n_salts < 1:
+        raise ValueError("k and n_salts must be >= 1")
+    # ascending struct sort == (order DESC, id ASC) via negation
+    item = F.struct(
+        (-F.col(order_col)).alias("_neg"), F.col(id_col).alias("_id")
+    )
+    topk = lambda c: F.slice(F.sort_array(c), 1, k)  # noqa: E731
+    phase1 = (
+        df.select(
+            F.col(group_col),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("_salt"),
+            item.alias("_it"),
+        )
+        .groupBy(group_col, "_salt")
+        .agg(topk(F.collect_list("_it")).alias("_top"))
+    )
+    merged = (
+        phase1.select(group_col, F.explode("_top").alias("_it"))
+        .groupBy(group_col)
+        .agg(topk(F.collect_list("_it")).alias("_top"))
+    )
+    return merged.select(
+        group_col, F.posexplode("_top").alias("_pos", "_it")
+    ).select(
+        group_col,
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+        F.col("_it._id").alias(id_col),
+        (-F.col("_it._neg")).alias(order_col),
+    )
+
+
+def group_topk_sql(
+    table_expr: str,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`group_topk` — the window form (the salted
+    plan is provably row-identical to it; the twin IS the equivalence
+    check)."""
+    return f"""
+    SELECT {group_col}, CAST(rank AS INTEGER) AS rank, {id_col}, {order_col}
+    FROM (
+      SELECT {group_col}, {id_col}, {order_col},
+             ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                ORDER BY {order_col} DESC, {id_col}) AS rank
+      FROM {table_expr})
+    WHERE rank <= {k}"""

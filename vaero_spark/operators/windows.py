@@ -70,3 +70,87 @@ def session_windows(df: DataFrame, gap: str, key: str = "conv_id") -> DataFrame:
             *[F.col(c) for c in ["n_turns", "n_user", "n_tool", "first_turn", "last_turn", "min_ts", "max_ts"]],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (session-id assignment over an event log)
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based SESSIONS over an event log and aggregate them:
+    consecutive events of a key belong to one session while the gap to
+    the previous event is ≤ ``gap_minutes``; a larger gap starts the
+    next session. Returns one row per session: (key, session_idx,
+    n_events, start_ms, end_ms) with ``session_idx`` numbered from 1 in
+    time order.
+
+    This is the row-level ELT sessionization (every event gets a
+    session id via lag → boundary flag → running sum) that
+    ``F.session_window`` aggregation cannot express when downstream
+    needs the PER-EVENT assignment or stable per-key session numbering.
+    Millisecond-integer arithmetic end to end (the repo parity rule).
+
+    100 TB shape: one shuffle on the key; the lag/cumsum window sorts
+    PER KEY (a user's own events — bounded), never globally. Event-time
+    ties within a key are ordered (ts, then nothing else needed: equal
+    timestamps share a session by definition since their gap is 0).
+    """
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("ts_ms")
+    base = events.select(F.col(key_col).alias("key"), ms.alias("ts_ms"))
+    flagged = base.withColumn(
+        "_new",
+        F.when(
+            F.col("ts_ms") - F.lag("ts_ms").over(w) > gap_minutes * 60_000, 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    assigned = flagged.withColumn(
+        "session_idx", (F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)) + 1).cast("long")
+    )
+    return (
+        assigned.groupBy("key", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+        )
+    )
+
+
+def sessionize_sql(
+    table_expr: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> str:
+    """DuckDB twin of :func:`sessionize` (caller supplies ``WITH``).
+    SUM window casts OUTSIDE (HUGEINT rule); epoch_ms mirrors Spark's
+    unix_millis."""
+    return f"""
+    sz_base AS (
+      SELECT {key_col} AS key, epoch_ms(CAST({ts_col} AS TIMESTAMP)) AS ts_ms
+      FROM {table_expr}),
+    sz_flag AS (
+      SELECT key, ts_ms,
+             CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY key ORDER BY ts_ms)
+                       > {gap_minutes} * 60000 THEN 1 ELSE 0 END AS _new
+      FROM sz_base),
+    sz_asgn AS (
+      SELECT key, ts_ms,
+             CAST(SUM(_new) OVER (PARTITION BY key ORDER BY ts_ms
+                                  ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT)
+               AS session_idx
+      FROM sz_flag)
+    SELECT key, session_idx, COUNT(*) AS n_events,
+           MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+    FROM sz_asgn GROUP BY 1, 2"""
