@@ -358,3 +358,37 @@ def test_stream_funnel_late_earlier_turn_extends_the_chain(spark):
         for r in batch_rows:
             final[(r.conv_id, r.stage)] = r.first_ord
     assert final == {("a", 1): 1, ("a", 2): 2}
+
+
+# ---------------------------------------------------------------------------
+# response latency
+# ---------------------------------------------------------------------------
+
+
+def test_response_latency_adjacent_pairs_only(spark):
+    from vaero_spark.operators.analytics import response_latency
+
+    rows = [
+        # c1: user@t0 -> assistant@t0+2s (counted), assistant -> user (no),
+        #     user@t0+10s -> tool (NOT adjacent-assistant: not counted)
+        ("c1", 0, "user", _ts(1, 0)),
+        ("c1", 1, "assistant", dt.datetime(2024, 1, 1, 0, 0, 2)),
+        ("c1", 2, "user", dt.datetime(2024, 1, 1, 0, 0, 10)),
+        ("c1", 3, "tool", dt.datetime(2024, 1, 1, 0, 0, 11)),
+        # c2: two counted pairs, 1s and 3s
+        ("c2", 0, "user", _ts(2, 0)),
+        ("c2", 1, "assistant", dt.datetime(2024, 1, 2, 0, 0, 1)),
+        ("c2", 2, "user", dt.datetime(2024, 1, 2, 0, 1, 0)),
+        ("c2", 3, "assistant", dt.datetime(2024, 1, 2, 0, 1, 3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {r.conv_id: r for r in response_latency(df).collect()}
+    assert got["c1"].n_responses == 1 and got["c1"].total_ms == 2000
+    assert got["c2"].n_responses == 2
+    assert (got["c2"].min_ms, got["c2"].max_ms, got["c2"].total_ms) == (
+        1000, 3000, 4000,
+    )
+    # conversations with no user->assistant adjacency emit no row
+    assert set(got) == {"c1", "c2"}

@@ -945,3 +945,41 @@ def test_group_topk_small_groups_emit_all_rows(spark):
     assert sorted((r.grp, r.rank, r.doc_id) for r in out) == [
         ("a", 1, 1), ("b", 1, 2)
     ]
+
+
+# ---------------------------------------------------------------------------
+# exact length quantiles
+# ---------------------------------------------------------------------------
+
+def test_length_quantiles_inverted_cdf_exact(spark):
+    """5 docs of lengths 1..5 in one lang: p25 -> smallest L with
+    cum >= ceil(25%*5)=2nd doc -> 2; p50 -> 3; p75 -> 4; p95 -> 5."""
+    rows = [(i, "xx", " ".join(["w"] * i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.lang: r for r in TXT.length_quantiles(df).collect()}
+    r = out["xx"]
+    assert (r.n_docs, r.p25, r.p50, r.p75, r.p95) == (5, 2, 3, 4, 5)
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build
+# ---------------------------------------------------------------------------
+
+def test_build_postings_df_exact_and_postings_capped(spark):
+    from vaero_spark.operators.search import build_postings
+
+    docs = [(i, "common word" if i < 5 else "rare") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = build_postings(df, k=3).collect()
+    by_tok = {}
+    for r in out:
+        by_tok.setdefault(r.token, []).append(r)
+    common = sorted(by_tok["common"], key=lambda r: r.rank)
+    # df counts ALL docs containing the token; postings cap at k lowest ids
+    assert [r.df for r in common] == [5, 5, 5]
+    assert [r.doc_id for r in common] == [0, 1, 2]
+    assert [r.doc_id for r in by_tok["rare"]] == [5, 6, 7]
+    # repeated token within one doc counts once
+    df2 = spark.createDataFrame([(1, "dup dup dup")], "doc_id long, text string")
+    out2 = build_postings(df2, k=3).collect()
+    assert [(r.token, r.df, r.doc_id) for r in out2] == [("dup", 1, 1)]

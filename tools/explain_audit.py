@@ -132,6 +132,14 @@ CHECKS = {
     # sessionization: lag/cumsum window PARTITIONED by the key — never a
     # whole-table single-partition window
     "events_sessions": (["Window"], ["CartesianProduct", "Window whole"]),
+    # exact length quantiles: the cumulative window runs on the bounded
+    # histogram, never the corpus; the corpus-sized op is one hash-agg
+    "corpus_quantiles": (["HashAggregate"], ["CartesianProduct"]),
+    # response latency: lead window PARTITIONED by conversation
+    "conv_latency": (["Window"], ["CartesianProduct", "Window whole"]),
+    # index build: salted two-phase postings — a Window here means the
+    # capped-posting shape regressed to a per-token sort
+    "corpus_index": (["ObjectHashAggregate"], ["Window", "CartesianProduct"]),
 }
 
 

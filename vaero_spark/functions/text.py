@@ -649,3 +649,73 @@ def repetition_sql(col: str = "text", k: int = SHINGLE_K) -> str:
             ratio(lines, "uniq_line_bp"),
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# exact per-language length quantiles (bounded-histogram, no corpus sort)
+# ---------------------------------------------------------------------------
+
+QUANTILES_PCT = (25, 50, 75, 95)
+
+
+def length_quantiles(df, lang_col: str = "lang", text_col: str = "text",
+                     pcts: tuple = QUANTILES_PCT):
+    """EXACT per-language token-length quantiles — the corpus length
+    report behind truncation/packing decisions (chunk size, pack
+    budget, length filters). Quantile *q* is the inverted CDF:
+    the smallest length ``L`` with ``100·cum(L) ≥ q·n`` (cum = docs with
+    ≤ L tokens) — deterministic, partition- and cluster-size
+    independent, never ``approxQuantile``.
+
+    100 TB shape (the ``quality_percentile_gate`` machinery): one
+    narrow tokenize + map-side-combined groupBy(lang, n_tokens) into a
+    histogram bounded by the length domain, then the cumulative window
+    and the conditional-min quantile picks run on the HISTOGRAM only.
+    Integer cross-multiplication, no division."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    hist = (
+        df.select(F.col(lang_col).alias("lang"), n_tok.alias("n_tokens"))
+        .groupBy("lang", "n_tokens")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens")
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    tot = hist.groupBy("lang").agg(F.sum("n").alias("n_docs"))
+    joined = cum.join(tot, "lang")
+    aggs = [F.max("n_docs").alias("n_docs")] + [
+        F.min(
+            F.when(F.lit(100) * F.col("cum") >= F.lit(q) * F.col("n_docs"),
+                   F.col("n_tokens"))
+        ).alias(f"p{q}")
+        for q in pcts
+    ]
+    return joined.groupBy("lang").agg(*aggs)
+
+
+def length_quantiles_sql(table: str = "documents", lang_col: str = "lang",
+                         text_col: str = "text",
+                         pcts: tuple = QUANTILES_PCT) -> str:
+    """DuckDB twin of :func:`length_quantiles` (caller supplies
+    ``WITH``). Aggregate casts OUTSIDE (HUGEINT rule)."""
+    tok = tokens_sql(text_col)
+    picks = ",\n".join(
+        f"           MIN(CASE WHEN 100 * cum >= {q} * n_docs THEN n_tokens END) AS p{q}"
+        for q in pcts
+    )
+    return f"""
+    lq_hist AS (
+      SELECT {lang_col} AS lang, CAST(len({tok}) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {table} GROUP BY 1, 2),
+    lq_cum AS (
+      SELECT lang, n_tokens, n,
+             CAST(SUM(n) OVER (PARTITION BY lang ORDER BY n_tokens) AS BIGINT) AS cum
+      FROM lq_hist),
+    lq_tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs
+               FROM lq_hist GROUP BY lang)
+    SELECT lang, MAX(n_docs) AS n_docs,
+{picks}
+    FROM lq_cum JOIN lq_tot USING (lang)
+    GROUP BY lang"""

@@ -377,6 +377,81 @@ def cohort_retention_sql(
 
 
 # ---------------------------------------------------------------------------
+# assistant response latency (per-conversation turn-pair timing)
+# ---------------------------------------------------------------------------
+
+
+def response_latency(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    from_role: str = "user",
+    to_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation RESPONSE LATENCY: for every ``from_role`` turn
+    whose immediately-next turn (by ``order_col``) is a ``to_role``
+    turn, the latency is their event-time delta in milliseconds;
+    aggregated per conversation as (n_responses, min_ms, max_ms,
+    total_ms) — the transcript QoS metric (how fast does the assistant
+    answer) every conversation-analytics surface reports. Mean/percentile
+    stay downstream divisions the caller controls (no floats here — the
+    repo parity rule; milliseconds are integers end to end).
+
+    100 TB shape: one shuffle on the conversation; the ``lead`` window
+    sorts PER CONVERSATION (bounded — the transcripts assumption), never
+    globally; the aggregate reuses the window's partitioning key.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    base = transcripts.select(
+        F.col(conv_col), F.col(order_col),
+        F.col(role_col).alias("_role"), ms.alias("_ms"),
+    )
+    nxt = base.withColumn("_nrole", F.lead("_role").over(w)).withColumn(
+        "_nms", F.lead("_ms").over(w)
+    )
+    resp = nxt.filter(
+        (F.col("_role") == from_role) & (F.col("_nrole") == to_role)
+    ).withColumn("_lat", F.col("_nms") - F.col("_ms"))
+    return resp.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.min("_lat").alias("min_ms"),
+        F.max("_lat").alias("max_ms"),
+        F.sum("_lat").alias("total_ms"),
+    )
+
+
+def response_latency_sql(
+    table_expr: str,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    from_role: str = "user",
+    to_role: str = "assistant",
+) -> str:
+    """DuckDB twin of :func:`response_latency` (caller supplies
+    ``WITH``). SUM cast OUTSIDE (HUGEINT rule); epoch_ms mirrors
+    unix_millis."""
+    return f"""
+    rl_next AS (
+      SELECT {conv_col}, {role_col} AS _role,
+             epoch_ms(CAST({ts_col} AS TIMESTAMP)) AS _ms,
+             lead({role_col}) OVER w AS _nrole,
+             lead(epoch_ms(CAST({ts_col} AS TIMESTAMP))) OVER w AS _nms
+      FROM {table_expr}
+      WINDOW w AS (PARTITION BY {conv_col} ORDER BY {order_col}))
+    SELECT {conv_col}, COUNT(*) AS n_responses,
+           MIN(_nms - _ms) AS min_ms, MAX(_nms - _ms) AS max_ms,
+           CAST(SUM(_nms - _ms) AS BIGINT) AS total_ms
+    FROM rl_next
+    WHERE _role = '{from_role}' AND _nrole = '{to_role}'
+    GROUP BY {conv_col}"""
+
+
+# ---------------------------------------------------------------------------
 # rate-spike detection (batch)
 # ---------------------------------------------------------------------------
 

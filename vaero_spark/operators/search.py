@@ -156,3 +156,68 @@ def bm25_sql(
     SELECT _id AS {id_col}, score_e6, n_terms,
            CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, _id) AS INTEGER) AS rank
     FROM s QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build (capped posting lists)
+# ---------------------------------------------------------------------------
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Build the INVERTED INDEX a retrieval layer consumes: one row per
+    (token, rank) with the token's exact document frequency and its
+    ``k`` lowest doc ids as the capped posting sample — the
+    index-construction step that lets repeated keyword queries
+    (:func:`bm25_topk` audits, contamination probes) touch only their
+    terms' postings instead of rescanning the corpus.
+
+    100 TB shape: distinct (token, doc) pairs explode narrow; document
+    frequency is one map-side-combined count. The capped posting list
+    NEVER builds an unbounded per-token collect_list (a stop token's
+    postings are corpus-sized — the partial aggregation state itself
+    would be the OOM): the ``group_topk`` two-phase salted shape keeps
+    every partial capped at ``k`` structs. The df join lands on the same
+    token partitioning the aggregates produce.
+    """
+    from vaero_spark.operators.transforms import group_topk
+
+    pairs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # smallest-k ids == top-k by (-id) DESC in the salted two-phase op
+    low = group_topk(
+        pairs.withColumn("_neg", -F.col("_id")),
+        "token", "_neg", "_id", k=k, n_salts=n_salts,
+    ).select("token", "rank", F.col("_id").alias(id_col))
+    return low.join(dfreq, "token").select("token", "df", "rank", id_col)
+
+
+def build_postings_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> str:
+    """DuckDB twin of :func:`build_postings` — the window form (the
+    salted plan is row-identical; the gate is the equivalence check)."""
+    tok = tokens_sql(text_col)
+    return f"""
+    ix_pairs AS (
+      SELECT {id_col} AS _id, unnest(list_distinct({tok})) AS token
+      FROM {table}),
+    ix_df AS (SELECT token, count(*) AS df FROM ix_pairs GROUP BY token),
+    ix_ranked AS (
+      SELECT token, _id,
+             ROW_NUMBER() OVER (PARTITION BY token ORDER BY _id) AS rank
+      FROM ix_pairs)
+    SELECT r.token, d.df, CAST(r.rank AS INTEGER) AS rank, r._id AS {id_col}
+    FROM ix_ranked r JOIN ix_df d USING (token)
+    WHERE r.rank <= {k}"""
