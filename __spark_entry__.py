@@ -1321,6 +1321,43 @@ def q_mm_features(spark, sf_dir):
     return MM.extract_features(CORPUS.load_media(spark, sf_dir))
 
 
+def q_cooccur_lift(spark, sf_dir):
+    """Top-100 windowed token co-occurrence pairs by integer lift
+    (operators/cooccur) — PMI-rank-equivalent phrase detection, pure
+    BIGINT arithmetic; one doc-keyed window + one pair groupBy."""
+    from vaero_spark.operators.cooccur import cooccur_lift
+
+    return cooccur_lift(CORPUS.load_documents(spark, sf_dir))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (functions/bpe): encode every document
+    under a pinned 16-merge vocab via chained builtin replaces —
+    shuffle-free, codegen'd; per-doc unit counts, compression bp, and
+    the encoded-string md5 as the cross-engine witness."""
+    from vaero_spark.functions.bpe import bpe_stats
+
+    return bpe_stats(CORPUS.load_documents(spark, sf_dir))
+
+
+def q_lexicon_filter(spark, sf_dir):
+    """Phrase-blocklist curation pass (operators/curate.lexicon_flags):
+    count lexicon-phrase occurrences per doc (builtin string arithmetic,
+    no regex) and flag docs over the hit budget; narrow, shuffle-free."""
+    from vaero_spark.operators.curate import lexicon_flags
+
+    return lexicon_flags(CORPUS.load_documents(spark, sf_dir))
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Agent tool-call transition matrix (operators/analytics.
+    tool_transitions): per-conversation lag window over tool turns →
+    (prev_tool, tool) counts + basis-point transition probabilities."""
+    from vaero_spark.operators.analytics import tool_transitions
+
+    return tool_transitions(load_transcripts(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
     50 entries. With 80 gate queries, coverage ROTATES (VERDICT r4 #2):
@@ -1350,10 +1387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_wm": q_stream_dedup_wm,
         "stream_join": q_stream_join,
         "s3_ingest": q_s3_ingest,
-        "txt_topk_tokens": q_txt_topk_tokens,
-        "corpus_stats": q_corpus_stats,
-        "conv_assemble": q_conv_assemble,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "corpus_curate": q_corpus_curate,
         "corpus_sample": q_corpus_sample,
@@ -1384,6 +1417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": q_corpus_quantiles,
         "conv_latency": q_conv_latency,
         "corpus_index": q_corpus_index,
+        "cooccur_lift": q_cooccur_lift,
+        "bpe_encode": q_bpe_encode,
+        "lexicon_filter": q_lexicon_filter,
+        "tool_transitions": q_tool_transitions,
         # -- past the 50-entry window this round (rotated OUT; each is
         #    2+ rounds driver-green, each family still covered above:
         #    t_sample→corpus_sample, t_annotate→txt_quality/langid,
@@ -1432,7 +1469,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r1-r4 driver-green),
         #    agg_salted→group_topk (the salted two-phase skew defense,
         #    same pattern now driver-gated at top-k granularity; r1-r4
-        #    driver-green)
+        #    driver-green),
+        #    txt_topk_tokens→cooccur_lift/txt_repetition (token-stats
+        #    family — cooccur runs the same tokenize+groupBy-count core
+        #    plus marginals; r3-r4 driver-green),
+        #    corpus_stats→corpus_quantiles/corpus_curate (per-language
+        #    corpus-rollup family; r3-r4 driver-green),
+        #    conv_assemble→conv_funnel/conv_latency/tool_transitions
+        #    (conversation-keyed window/agg family; r3-r4 driver-green),
+        #    dedup_clusters→dedup_keep (dedup_keep REBUILDS the full
+        #    cluster pipeline in-window every round; r3-r4 driver-green)
         "t_add": q_t_add,
         "t_select": q_t_select,
         "t_mask": q_t_mask,
@@ -1463,6 +1509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_rename_delete": q_t_rename_delete,
         "txt_quality": q_txt_quality,
         "agg_salted": q_agg_salted,
+        "txt_topk_tokens": q_txt_topk_tokens,
+        "corpus_stats": q_corpus_stats,
+        "conv_assemble": q_conv_assemble,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1578,6 +1628,10 @@ from vaero_spark.operators.analytics import cohort_retention_sql as _retention_s
 from vaero_spark.operators.analytics import funnel_membership_sql as _funnel_mem_sql
 from vaero_spark.operators.analytics import funnel_sql as _funnel_sql
 from vaero_spark.operators.analytics import rate_spikes_sql as _spikes_sql
+from vaero_spark.operators.analytics import tool_transitions_sql as _tooltrans_sql
+from vaero_spark.operators.cooccur import cooccur_lift_sql as _cooccur_sql
+from vaero_spark.functions.bpe import bpe_stats_sql as _bpe_sql
+from vaero_spark.operators.curate import lexicon_flags_sql as _lexicon_sql
 
 _CORPUS_PACK_SQL = f"WITH RECURSIVE {_pack_sql('documents')}"
 
@@ -1903,6 +1957,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quantiles": f"WITH {TXT.length_quantiles_sql('documents')}",
         "conv_latency": f"{_T}, {_latency_sql('transcripts')}",
         "corpus_index": f"WITH {_postings_sql('documents')}",
+        "cooccur_lift": _cooccur_sql("documents"),
+        "bpe_encode": _bpe_sql("documents"),
+        "lexicon_filter": _lexicon_sql("documents"),
+        "tool_transitions": f"{_T}, {_tooltrans_sql('transcripts')}",
         "dedup_incremental": f"""{_D},
             snap AS (SELECT * FROM documents WHERE doc_id % 4 = 0)
             {DD.dedup_against_sql('documents_nd', 'snap')}""",

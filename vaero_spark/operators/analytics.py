@@ -650,3 +650,79 @@ def stream_rate_spikes(
             timeoutConf="NoTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tool-transition matrix (agent-behavior analytics)
+# ---------------------------------------------------------------------------
+
+def tool_transitions(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """First-order tool-call TRANSITION MATRIX over agent transcripts:
+    restrict to tool turns, order them per conversation, and count each
+    (prev_tool → tool) step; ``p_bp`` is the empirical transition
+    probability in basis points (``floor(10000·n/Σ_row n)``) — the
+    Markov view of agent behavior every agent-analytics surface draws
+    (which tool follows which, where do loops form). Integer/string
+    output only (repo parity rule).
+
+    100 TB shape: ONE shuffle on the conversation for the ``lag``
+    window (per-conversation sort, never global), then a
+    map-side-combined groupBy on the (prev, next) pair — the pair
+    table is vocabulary-sized (|tools|²), so the row-normalizing
+    window over ``prev_tool`` is trivially small.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    steps = (
+        transcripts.filter((F.col(role_col) == "tool") & (F.col(tool_col) != ""))
+        .select(F.col(conv_col), F.col(order_col), F.col(tool_col).alias("tool"))
+        .withColumn("prev_tool", F.lag("tool").over(w))
+        .filter(F.col("prev_tool").isNotNull())
+    )
+    counts = steps.groupBy("prev_tool", "tool").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    row_tot = Window.partitionBy("prev_tool")
+    return counts.select(
+        "prev_tool",
+        "tool",
+        "n_trans",
+        F.floor(
+            F.lit(10000) * F.col("n_trans") / F.sum("n_trans").over(row_tot)
+        ).cast("bigint").alias("p_bp"),
+    )
+
+
+def tool_transitions_sql(
+    table_expr: str,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> str:
+    """DuckDB twin of :func:`tool_transitions` (caller supplies the
+    ``WITH`` prefix). SUM-over-window on BIGINT counts returns HUGEINT
+    in DuckDB → the division operand casts back to BIGINT BEFORE the
+    mirrored ``floor(10000·n/total)`` so both engines divide the same
+    integers."""
+    return f"""
+    tt_steps AS (
+      SELECT {conv_col}, {tool_col} AS tool,
+             lag({tool_col}) OVER (PARTITION BY {conv_col} ORDER BY {order_col})
+               AS prev_tool
+      FROM {table_expr}
+      WHERE {role_col} = 'tool' AND {tool_col} != ''),
+    tt_counts AS (
+      SELECT prev_tool, tool, COUNT(*) AS n_trans
+      FROM tt_steps WHERE prev_tool IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT prev_tool, tool, n_trans,
+           CAST(floor(10000 * n_trans /
+                CAST(SUM(n_trans) OVER (PARTITION BY prev_tool) AS BIGINT))
+             AS BIGINT) AS p_bp
+    FROM tt_counts"""

@@ -404,3 +404,81 @@ def pii_scrub_sql(text_col: str = "text") -> str:
             f"'<{cat.upper()}>', 'g')"
         )
     return f"{counts},\n{scrub} AS {text_col}"
+
+
+# ---------------------------------------------------------------------------
+# lexicon blocklist filter (safety / spam / contamination phrase lists)
+# ---------------------------------------------------------------------------
+
+# Gate-query default: phrases that actually occur in the synthetic
+# corpus so the flag path is exercised end-to-end. Production callers
+# pass their own blocklist (safety terms, spam markers, license
+# boilerplate, eval-set catchphrases).
+DEFAULT_LEXICON: tuple[str, ...] = ("spark window", "hash join", "dup")
+
+
+def lexicon_flags(
+    df: DataFrame,
+    lexicon: tuple[str, ...] = DEFAULT_LEXICON,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 2,
+) -> DataFrame:
+    """Phrase-blocklist scoring — the lexicon-filter pass every
+    training-data pipeline runs before the model-based filters (cheap,
+    exact, auditable): for each document, count occurrences of every
+    lexicon phrase (multi-word phrases included, substring semantics on
+    the lowercased text) and flag documents whose total exceeds
+    ``max_hits``.
+
+    Occurrences are counted WITHOUT regex:
+    ``(len(s) − len(replace(s, p, ''))) / len(p)`` — builtin string
+    arithmetic, identical in Spark and DuckDB, integer-exact (the
+    length delta is always a multiple of ``len(p)``). The whole op is
+    one narrow projection: shuffle-free, whole-stage codegen, the
+    lexicon is compiled into the plan (no join, no broadcast) — at
+    100 TB this rides the scan like the reference's ``filter_regexp``
+    (`/root/reference/transform/filter_regexp.go`) but with counts kept
+    for the curation audit trail.
+
+    Returns (id, lex_hits, flagged) with ``flagged`` as an int (0/1) —
+    the repo's cross-engine parity rule keeps comparisons in integer
+    space.
+    """
+    s = F.lower(F.col(text_col))
+    hits = F.lit(0).cast("bigint")
+    for p in lexicon:
+        p = p.lower()
+        cnt = F.floor(
+            (F.length(s) - F.length(F.replace(s, F.lit(p), F.lit("")))) / F.lit(len(p))
+        ).cast("bigint")
+        hits = hits + cnt
+    return df.select(
+        F.col(id_col),
+        hits.alias("lex_hits"),
+        F.when(hits > max_hits, F.lit(1)).otherwise(F.lit(0)).alias("flagged"),
+    )
+
+
+def lexicon_flags_sql(
+    table: str = "documents",
+    lexicon: tuple[str, ...] = DEFAULT_LEXICON,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`lexicon_flags` (standalone SELECT). The
+    lowercased text materializes once in a subquery; the hit expression
+    mirrors the Spark arithmetic token-for-token."""
+    terms = []
+    for p in lexicon:
+        p = p.lower().replace("'", "''")
+        terms.append(
+            f"CAST(floor((length(_s) - length(replace(_s, '{p}', ''))) "
+            f"/ {len(p)}) AS BIGINT)"
+        )
+    hits = "(" + " + ".join(terms) + ")"
+    return f"""
+    SELECT {id_col}, {hits} AS lex_hits,
+           CASE WHEN {hits} > {max_hits} THEN 1 ELSE 0 END AS flagged
+    FROM (SELECT {id_col}, lower({text_col}) AS _s FROM {table})"""
