@@ -975,10 +975,14 @@ def test_build_postings_df_exact_and_postings_capped(spark):
     for r in out:
         by_tok.setdefault(r.token, []).append(r)
     common = sorted(by_tok["common"], key=lambda r: r.rank)
-    # df counts ALL docs containing the token; postings cap at k lowest ids
+    # df counts ALL docs containing the token; postings cap at k lowest ids.
+    # Sort by rank before asserting — collect() row order is NOT a Spark
+    # guarantee (observed reversed under AQE in long shared sessions);
+    # the rank→id mapping is the actual contract.
     assert [r.df for r in common] == [5, 5, 5]
-    assert [r.doc_id for r in common] == [0, 1, 2]
-    assert [r.doc_id for r in by_tok["rare"]] == [5, 6, 7]
+    assert [(r.rank, r.doc_id) for r in common] == [(1, 0), (2, 1), (3, 2)]
+    rare = sorted(by_tok["rare"], key=lambda r: r.rank)
+    assert [(r.rank, r.doc_id) for r in rare] == [(1, 5), (2, 6), (3, 7)]
     # repeated token within one doc counts once
     df2 = spark.createDataFrame([(1, "dup dup dup")], "doc_id long, text string")
     out2 = build_postings(df2, k=3).collect()

@@ -140,6 +140,22 @@ CHECKS = {
     # index build: salted two-phase postings — a Window here means the
     # capped-posting shape regressed to a per-token sort
     "corpus_index": (["ObjectHashAggregate"], ["Window", "CartesianProduct"]),
+    # co-occurrence lift: doc-keyed lead window + pair groupBy +
+    # marginal equi-joins; ranking is distributed top-k, never a global
+    # sort, and nothing may pair tokens all-to-all
+    "cooccur_lift": (
+        ["TakeOrderedAndProject", "Window"],
+        ["CartesianProduct", "Window whole"],
+    ),
+    # BPE application: chained builtin replaces — strictly narrow,
+    # shuffle-free, no UDFs (an Exchange here means the tokenizer
+    # stopped riding the scan)
+    "bpe_encode": ([], ["Exchange", "CartesianProduct", "BatchEvalPython"]),
+    # lexicon blocklist: one narrow projection, shuffle-free
+    "lexicon_filter": ([], ["Exchange", "CartesianProduct"]),
+    # tool transitions: lag window PARTITIONED by conversation, then a
+    # vocabulary-sized pair aggregate — never a whole-table window
+    "tool_transitions": (["Window"], ["CartesianProduct", "Window whole"]),
 }
 
 
