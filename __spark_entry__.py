@@ -1125,6 +1125,10 @@ def q_cep_role_seq(spark, sf_dir):
 
 
 FUNNEL_ROLES = ["user", "assistant", "tool", "system"]
+# blocklist phrases that occur in the transcripts' event-type vocabulary
+# ("turn <i> of <conv>: <event_type> k=<n>") so the streaming monitor
+# sees real hits; production passes its own safety lexicon
+STREAM_LEXICON = ("error", "purchase")
 SPIKE_PARAMS = dict(baseline_buckets=3, factor_bp=20000, min_baseline=3)
 
 
@@ -1358,6 +1362,64 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(load_transcripts(spark, sf_dir))
 
 
+def q_corpus_novelty(spark, sf_dir):
+    """Cross-document shingle novelty (operators/dedup.shingle_novelty):
+    per doc, the fraction of its distinct 3-shingles first seen in THIS
+    doc by ingestion order — the corpus-growth curve; shingle-keyed
+    min-groupBy + same-key join back, no doc×doc pairs."""
+    return DD.shingle_novelty(CORPUS.load_documents(spark, sf_dir))
+
+
+def q_json_profile(spark, sf_dir):
+    """Semi-structured schema discovery (operators/analytics.
+    json_profile): per JSON key across events.props — presence count,
+    integer-typed count, lexicographic value range; keys explode narrow,
+    one map-side-combined groupBy, schema-sized result."""
+    from vaero_spark.operators.analytics import json_profile
+
+    return json_profile(load_table(spark, sf_dir, "events"))
+
+
+def q_stream_lexicon(spark, sf_dir):
+    """Streaming blocklist monitor (operators/curate.stream_lexicon):
+    cumulative per-conversation lexicon hits as turns arrive, duplicate
+    and out-of-order safe; the drained last emission per conversation
+    must equal the batch per-conversation aggregate — an EXACT SQL
+    oracle for the stateful op (the stream_funnel pairing). Lexicon
+    phrases live in the transcripts' event-type vocabulary so real
+    hits flow."""
+    import tempfile
+
+    from vaero_spark.operators.curate import stream_lexicon
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_slex_")
+    inp = _gate_stream_input(spark, sf_dir, "plain")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        stream_lexicon(src, lexicon=STREAM_LEXICON, watermark="60 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: the last emission per conversation wins
+    for epoch_id, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = (r.conv_id, r.lex_hits, r.flagged)
+    return spark.createDataFrame(
+        list(final.values()), "conv_id string, lex_hits long, flagged int"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
     50 entries. With 80 gate queries, coverage ROTATES (VERDICT r4 #2):
@@ -1382,9 +1444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_filter_regexp": q_t_filter,
         "route_branch": q_route,
         "w_tumbling": q_w_tumbling,
-        "j_asof": q_j_asof,
-        "q_pricing": q_pricing,
-        "stream_dedup_wm": q_stream_dedup_wm,
         "stream_join": q_stream_join,
         "s3_ingest": q_s3_ingest,
         "dedup_keep": q_dedup_keep,
@@ -1421,6 +1480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "lexicon_filter": q_lexicon_filter,
         "tool_transitions": q_tool_transitions,
+        "corpus_novelty": q_corpus_novelty,
+        "json_profile": q_json_profile,
+        "stream_lexicon": q_stream_lexicon,
         # -- past the 50-entry window this round (rotated OUT; each is
         #    2+ rounds driver-green, each family still covered above:
         #    t_sample→corpus_sample, t_annotate→txt_quality/langid,
@@ -1478,7 +1540,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    conv_assemble→conv_funnel/conv_latency/tool_transitions
         #    (conversation-keyed window/agg family; r3-r4 driver-green),
         #    dedup_clusters→dedup_keep (dedup_keep REBUILDS the full
-        #    cluster pipeline in-window every round; r3-r4 driver-green)
+        #    cluster pipeline in-window every round; r3-r4 driver-green),
+        #    j_asof→stream_join (join family stays represented; j_asof
+        #    r3-r4 driver-green and j_user_tool r1-r4),
+        #    stream_dedup_wm→stream_lexicon/stream_funnel/stream_cep
+        #    (the stateful-streaming family, now with the new lexicon
+        #    monitor in-window) + dedup_incremental (dedup family;
+        #    stream_dedup_wm r2-r4 driver-green),
+        #    q_pricing→corpus_quantiles/group_topk/cohort_retention
+        #    (the scan→filter→multi-aggregate shape; q_pricing carries
+        #    r1-r4 driver-green — the deepest history in the suite)
         "t_add": q_t_add,
         "t_select": q_t_select,
         "t_mask": q_t_mask,
@@ -1513,6 +1584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "conv_assemble": q_conv_assemble,
         "dedup_clusters": q_dedup_clusters,
+        "j_asof": q_j_asof,
+        "q_pricing": q_pricing,
+        "stream_dedup_wm": q_stream_dedup_wm,
     }
 
 
@@ -1629,9 +1703,11 @@ from vaero_spark.operators.analytics import funnel_membership_sql as _funnel_mem
 from vaero_spark.operators.analytics import funnel_sql as _funnel_sql
 from vaero_spark.operators.analytics import rate_spikes_sql as _spikes_sql
 from vaero_spark.operators.analytics import tool_transitions_sql as _tooltrans_sql
+from vaero_spark.operators.analytics import json_profile_sql as _jprofile_sql
 from vaero_spark.operators.cooccur import cooccur_lift_sql as _cooccur_sql
 from vaero_spark.functions.bpe import bpe_stats_sql as _bpe_sql
 from vaero_spark.operators.curate import lexicon_flags_sql as _lexicon_sql
+from vaero_spark.operators.curate import stream_lexicon_oracle_sql as _slex_sql
 
 _CORPUS_PACK_SQL = f"WITH RECURSIVE {_pack_sql('documents')}"
 
@@ -1961,6 +2037,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_sql("documents"),
         "lexicon_filter": _lexicon_sql("documents"),
         "tool_transitions": f"{_T}, {_tooltrans_sql('transcripts')}",
+        "corpus_novelty": DD.shingle_novelty_sql("documents"),
+        "json_profile": _jprofile_sql("events"),
+        "stream_lexicon": f"{_T}, {_slex_sql('transcripts', STREAM_LEXICON)}",
         "dedup_incremental": f"""{_D},
             snap AS (SELECT * FROM documents WHERE doc_id % 4 = 0)
             {DD.dedup_against_sql('documents_nd', 'snap')}""",

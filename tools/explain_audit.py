@@ -156,6 +156,21 @@ CHECKS = {
     # tool transitions: lag window PARTITIONED by conversation, then a
     # vocabulary-sized pair aggregate — never a whole-table window
     "tool_transitions": (["Window"], ["CartesianProduct", "Window whole"]),
+    # shingle novelty: shingle-keyed min-groupBy + equi-join back +
+    # doc rollup — no doc×doc pairs, no corpus-sized broadcast
+    "corpus_novelty": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # JSON profiling: keys explode narrow, ONE partial+final aggregate
+    # — no join, no window. min/max over STRINGS can't use the
+    # fixed-width HashAggregate buffer, so Spark picks SortAggregate;
+    # partial (map-side) aggregation still applies and the grouping key
+    # cardinality is schema-sized, so the sort is trivial.
+    "json_profile": (
+        ["SortAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
 }
 
 

@@ -726,3 +726,71 @@ def tool_transitions_sql(
                 CAST(SUM(n_trans) OVER (PARTITION BY prev_tool) AS BIGINT))
              AS BIGINT) AS p_bp
     FROM tt_counts"""
+
+
+# ---------------------------------------------------------------------------
+# semi-structured JSON profiling (schema discovery over raw log payloads)
+# ---------------------------------------------------------------------------
+
+def json_profile(
+    df: DataFrame,
+    json_col: str = "props",
+) -> DataFrame:
+    """PROFILE a free-form JSON payload column: for every key that
+    appears anywhere in the corpus, how often it is present, how often
+    its value is a bare integer, and the lexicographic min/max of its
+    string form — the schema-discovery pass run over raw event/log
+    payloads before committing an extraction schema (the reference
+    pipelines hand-write nested paths per source,
+    `/root/reference/pipelines/okta_pipe.py:11-13`; this op finds the
+    paths). Top-level keys only — nested profiling is the same op fed
+    ``json_extract`` of the parent.
+
+    100 TB shape: keys explode narrow per row; ONE map-side-combined
+    groupBy on the key — the result is schema-sized (distinct keys),
+    never data-sized. Dynamic-path ``get_json_object(props,
+    concat('$.', key))`` stays JVM-side (probed: non-literal paths
+    evaluate per row in Spark 4.1.2 exactly like DuckDB's
+    ``json_extract_string(props, '$.' || key)``).
+
+    Output: (key, n_present, n_int, val_min, val_max) — integers and
+    strings only (repo parity rule).
+    """
+    kv = df.select(
+        F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
+        F.col(json_col).alias("_j"),
+    ).select(
+        "key",
+        F.expr("get_json_object(_j, concat('$.', key))").alias("_val"),
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.when(F.col("_val").rlike("^-?[0-9]+$"), 1).otherwise(0)
+        ).cast("bigint").alias("n_int"),
+        F.min("_val").alias("val_min"),
+        F.max("_val").alias("val_max"),
+    )
+
+
+def json_profile_sql(
+    table: str = "events",
+    json_col: str = "props",
+) -> str:
+    """DuckDB twin of :func:`json_profile` (standalone SELECT). SUM
+    cast OUTSIDE (HUGEINT rule); ``regexp_matches`` mirrors ``rlike``
+    on the shared RE2/Java subset."""
+    return f"""
+    WITH jp_kv AS (
+      SELECT key, json_extract_string(_j, '$.' || key) AS _val
+      FROM (
+        SELECT unnest(json_keys({json_col})) AS key, {json_col} AS _j
+        FROM {table}))
+    SELECT key,
+           COUNT(*) AS n_present,
+           CAST(SUM(CASE WHEN regexp_matches(_val, '^-?[0-9]+$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+           MIN(_val) AS val_min,
+           MAX(_val) AS val_max
+    FROM jp_kv
+    GROUP BY key"""

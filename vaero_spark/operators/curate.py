@@ -417,6 +417,34 @@ def pii_scrub_sql(text_col: str = "text") -> str:
 DEFAULT_LEXICON: tuple[str, ...] = ("spark window", "hash join", "dup")
 
 
+def lexicon_hits(s, lexicon: tuple[str, ...] = DEFAULT_LEXICON):
+    """Total lexicon-phrase occurrence count over an already-lowercased
+    string COLUMN ``s`` — the shared core of :func:`lexicon_flags` and
+    :func:`stream_lexicon`. Regex-free builtin string arithmetic
+    (docstring below); integer-exact in both engines."""
+    hits = F.lit(0).cast("bigint")
+    for p in lexicon:
+        p = p.lower()
+        cnt = F.floor(
+            (F.length(s) - F.length(F.replace(s, F.lit(p), F.lit("")))) / F.lit(len(p))
+        ).cast("bigint")
+        hits = hits + cnt
+    return hits
+
+
+def lexicon_hits_sql(expr: str, lexicon: tuple[str, ...] = DEFAULT_LEXICON) -> str:
+    """DuckDB twin of :func:`lexicon_hits` over an already-lowercased
+    SQL expression ``expr`` (mirrors the arithmetic token-for-token)."""
+    terms = []
+    for p in lexicon:
+        p = p.lower().replace("'", "''")
+        terms.append(
+            f"CAST(floor((length({expr}) - length(replace({expr}, '{p}', ''))) "
+            f"/ {len(p)}) AS BIGINT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def lexicon_flags(
     df: DataFrame,
     lexicon: tuple[str, ...] = DEFAULT_LEXICON,
@@ -445,14 +473,7 @@ def lexicon_flags(
     the repo's cross-engine parity rule keeps comparisons in integer
     space.
     """
-    s = F.lower(F.col(text_col))
-    hits = F.lit(0).cast("bigint")
-    for p in lexicon:
-        p = p.lower()
-        cnt = F.floor(
-            (F.length(s) - F.length(F.replace(s, F.lit(p), F.lit("")))) / F.lit(len(p))
-        ).cast("bigint")
-        hits = hits + cnt
+    hits = lexicon_hits(F.lower(F.col(text_col)), lexicon)
     return df.select(
         F.col(id_col),
         hits.alias("lex_hits"),
@@ -470,15 +491,114 @@ def lexicon_flags_sql(
     """DuckDB twin of :func:`lexicon_flags` (standalone SELECT). The
     lowercased text materializes once in a subquery; the hit expression
     mirrors the Spark arithmetic token-for-token."""
-    terms = []
-    for p in lexicon:
-        p = p.lower().replace("'", "''")
-        terms.append(
-            f"CAST(floor((length(_s) - length(replace(_s, '{p}', ''))) "
-            f"/ {len(p)}) AS BIGINT)"
-        )
-    hits = "(" + " + ".join(terms) + ")"
+    hits = lexicon_hits_sql("_s", lexicon)
     return f"""
     SELECT {id_col}, {hits} AS lex_hits,
            CASE WHEN {hits} > {max_hits} THEN 1 ELSE 0 END AS flagged
     FROM (SELECT {id_col}, lower({text_col}) AS _s FROM {table})"""
+
+
+# ---------------------------------------------------------------------------
+# lexicon blocklist — streaming (live safety alerting per conversation)
+# ---------------------------------------------------------------------------
+
+_LEX_STATE_SCHEMA_DDL = "ords array<long>, hits array<long>, last_us long"
+_LEX_OUT_SCHEMA_DDL = "conv_id string, lex_hits long, flagged int"
+
+
+def stream_lexicon(
+    stream: DataFrame,
+    lexicon: tuple[str, ...] = DEFAULT_LEXICON,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    max_hits: int = 2,
+    watermark: str = "60 days",
+    idle_timeout_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming form of :func:`lexicon_flags` at CONVERSATION
+    granularity: as turns arrive (out of order, duplicates included),
+    maintain each live conversation's cumulative blocklist-hit count
+    and re-emit (conv_id, lex_hits, flagged) in update mode — the live
+    safety monitor that pages when a conversation crosses the phrase
+    budget.
+
+    The per-turn hit count evaluates JVM-SIDE (the same regex-free
+    arithmetic as the batch op) BEFORE the stateful stage, and
+    zero-hit turns never reach Python — Arrow ships (conv, ord, hits,
+    ts) for matching turns only. State per conversation is the hit
+    count PER TURN INDEX (a dict, so a re-delivered duplicate turn
+    overwrites instead of double-counting — idempotent under the
+    at-least-once replay the fixtures exercise), plus last-event time
+    for idle eviction. Every emission recomputes the full sum, so
+    last-emission-wins drains to EXACTLY the batch per-conversation
+    aggregate — an exact SQL oracle for a stateful streaming op (the
+    ``stream_funnel`` / ``stream_cep`` pairing).
+    """
+    from vaero_spark.operators.state import _arm_idle_timeout, _pdf_max_us
+
+    pre = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(order_col).cast("long").alias("_ord"),
+            lexicon_hits(F.lower(F.col(text_col)), lexicon).alias("_h"),
+            F.col(ts_col).alias("ts"),
+        )
+        .filter(F.col("_h") > 0)
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # idle conversation: emissions were eager
+            state.remove()
+            return
+        ords, hits, last_us = state.get if state.exists else ([], [], 0)
+        turns = dict(zip(ords, hits))
+        for pdf in pdfs:
+            for o, h in zip(pdf["_ord"], pdf["_h"]):
+                turns[int(o)] = int(h)  # overwrite: duplicate-safe
+            if len(pdf):
+                last_us = _pdf_max_us(pdf, last_us)
+        items = sorted(turns.items())
+        state.update(([o for o, _ in items], [h for _, h in items], last_us))
+        _arm_idle_timeout(state, last_us, idle_timeout_seconds)
+        total = sum(h for _, h in items)
+        out = pd.DataFrame(
+            [(key[0], total, 1 if total > max_hits else 0)],
+            columns=["conv_id", "lex_hits", "flagged"],
+        )
+        yield out.astype({"lex_hits": "int64", "flagged": "int32"})
+
+    return pre.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=_LEX_OUT_SCHEMA_DDL,
+        stateStructType=_LEX_STATE_SCHEMA_DDL,
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def stream_lexicon_oracle_sql(
+    table_expr: str,
+    lexicon: tuple[str, ...] = DEFAULT_LEXICON,
+    max_hits: int = 2,
+) -> str:
+    """The BATCH equivalent the drained stream must equal (caller
+    supplies the ``WITH`` prefix): per-conversation sum of per-turn
+    hits over conversations with at least one hit (zero-hit turns are
+    filtered before the stateful op, so all-zero conversations never
+    emit)."""
+    hits = lexicon_hits_sql("lower(text)", lexicon)
+    return f"""
+    lx_turns AS (
+      SELECT conv_id, {hits} AS _h FROM {table_expr})
+    SELECT conv_id,
+           CAST(SUM(_h) AS BIGINT) AS lex_hits,
+           CASE WHEN SUM(_h) > {max_hits} THEN 1 ELSE 0 END AS flagged
+    FROM lx_turns
+    GROUP BY conv_id
+    HAVING SUM(_h) > 0"""

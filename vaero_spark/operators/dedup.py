@@ -609,3 +609,82 @@ def embedding_dup_groups(df: DataFrame, vec_col: str = "embedding") -> DataFrame
         .filter(F.col("n_copies") > 1)
         .select("keep_id", "n_copies", "members")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document shingle novelty (corpus-growth / data-mixing signal)
+# ---------------------------------------------------------------------------
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY against everything earlier in the corpus:
+    the fraction of a document's distinct k-shingles whose FIRST
+    occurrence (by ``id_col`` order — ingestion order in a snapshot
+    corpus) is this document. ``novelty_bp = 10000`` means all-new
+    content; low values mean the document mostly restates earlier
+    text — the curve data-mixing and crawl-scheduling decisions read
+    (is a source still contributing new content?). Passage-level
+    companion to :func:`dedup_against` (doc-level cross-snapshot).
+
+    100 TB shape: distinct-within-doc shingles explode narrow; the
+    first-occurrence table is ONE map-side-combined ``min`` groupBy on
+    the shingle; the join back lands on the SAME shingle partitioning
+    (no second exchange on the probe side); the per-doc rollup is one
+    shuffle on doc_id. No doc×doc pairs anywhere. At 10^12 docs the
+    shingle key would be a 128-bit hash instead of the raw string —
+    same plan, narrower wire; the gate keeps the string so the DuckDB
+    twin is byte-identical.
+
+    Output: (id, n_shingles, n_novel, novelty_bp), all integers.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), k))
+        ).alias("_sh"),
+    )
+    first = sh.groupBy("_sh").agg(F.min(id_col).alias("_first"))
+    joined = sh.join(first, "_sh")
+    n_novel = F.sum(
+        F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        n_novel.alias("n_novel"),
+        F.floor(
+            F.lit(10000)
+            * F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).cast("bigint").alias("novelty_bp"),
+    )
+
+
+def shingle_novelty_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`shingle_novelty` (standalone SELECT).
+    SUM casts OUTSIDE the aggregate (HUGEINT rule); the novelty ratio
+    mirrors Spark's ``floor(10000·sum/count)`` token-for-token."""
+    from vaero_spark.functions.text import shingles_sql, tokens_sql
+
+    sh_expr = shingles_sql(tokens_sql(text_col), k)
+    return f"""
+    WITH nv_sh AS (
+      SELECT {id_col}, unnest(list_distinct({sh_expr})) AS _sh
+      FROM {table}),
+    nv_first AS (SELECT _sh, MIN({id_col}) AS _first FROM nv_sh GROUP BY 1)
+    SELECT {id_col},
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN _first = {id_col} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(floor(10000 * SUM(CASE WHEN _first = {id_col} THEN 1 ELSE 0 END)
+                / COUNT(*)) AS BIGINT) AS novelty_bp
+    FROM nv_sh JOIN nv_first USING (_sh)
+    GROUP BY {id_col}"""
