@@ -1362,6 +1362,24 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(load_transcripts(spark, sf_dir))
 
 
+def q_w_distinct(spark, sf_dir):
+    """Hourly EXACT distinct-user counts over events (operators/windows.
+    windowed_distinct_users): the two-phase expand/partial-agg distinct
+    plan — the shuffle carries one row per distinct (window, user)."""
+    from vaero_spark.operators.windows import windowed_distinct_users
+
+    return windowed_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def q_emb_centroids(spark, sf_dir):
+    """Per-class centroid sufficient statistics (operators/cluster.
+    centroid_sums): exact per-(label, dim) sums of quantized embeddings
+    in long format — one map-side-combined groupBy, model-sized result."""
+    from vaero_spark.operators.cluster import centroid_sums
+
+    return centroid_sums(CORPUS.load_embeddings(spark, sf_dir))
+
+
 def q_corpus_novelty(spark, sf_dir):
     """Cross-document shingle novelty (operators/dedup.shingle_novelty):
     per doc, the fraction of its distinct 3-shingles first seen in THIS
@@ -1441,9 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
         # -- in-window representatives of every family ----------------
-        "t_filter_regexp": q_t_filter,
         "route_branch": q_route,
-        "w_tumbling": q_w_tumbling,
         "stream_join": q_stream_join,
         "s3_ingest": q_s3_ingest,
         "dedup_keep": q_dedup_keep,
@@ -1483,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_novelty": q_corpus_novelty,
         "json_profile": q_json_profile,
         "stream_lexicon": q_stream_lexicon,
+        "w_distinct": q_w_distinct,
+        "emb_centroids": q_emb_centroids,
         # -- past the 50-entry window this round (rotated OUT; each is
         #    2+ rounds driver-green, each family still covered above:
         #    t_sample→corpus_sample, t_annotate→txt_quality/langid,
@@ -1549,7 +1567,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    stream_dedup_wm r2-r4 driver-green),
         #    q_pricing→corpus_quantiles/group_topk/cohort_retention
         #    (the scan→filter→multi-aggregate shape; q_pricing carries
-        #    r1-r4 driver-green — the deepest history in the suite)
+        #    r1-r4 driver-green — the deepest history in the suite),
+        #    w_tumbling→w_distinct (windowed-aggregate family — the new
+        #    distinct-users op runs the same F.window groupBy core;
+        #    w_tumbling r1-r4 driver-green),
+        #    t_filter_regexp→route_branch (route_branch's two branches
+        #    RUN filter_regexp in-window every round; t_filter_regexp
+        #    r1-r4 driver-green + pure-Python-oracle parity pytest)
         "t_add": q_t_add,
         "t_select": q_t_select,
         "t_mask": q_t_mask,
@@ -1587,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof": q_j_asof,
         "q_pricing": q_pricing,
         "stream_dedup_wm": q_stream_dedup_wm,
+        "w_tumbling": q_w_tumbling,
+        "t_filter_regexp": q_t_filter,
     }
 
 
@@ -1708,6 +1734,8 @@ from vaero_spark.operators.cooccur import cooccur_lift_sql as _cooccur_sql
 from vaero_spark.functions.bpe import bpe_stats_sql as _bpe_sql
 from vaero_spark.operators.curate import lexicon_flags_sql as _lexicon_sql
 from vaero_spark.operators.curate import stream_lexicon_oracle_sql as _slex_sql
+from vaero_spark.operators.windows import windowed_distinct_users_sql as _wdistinct_sql
+from vaero_spark.operators.cluster import centroid_sums_sql as _centroids_sql
 
 _CORPUS_PACK_SQL = f"WITH RECURSIVE {_pack_sql('documents')}"
 
@@ -2040,6 +2068,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_novelty": DD.shingle_novelty_sql("documents"),
         "json_profile": _jprofile_sql("events"),
         "stream_lexicon": f"{_T}, {_slex_sql('transcripts', STREAM_LEXICON)}",
+        "w_distinct": _wdistinct_sql("events"),
+        "emb_centroids": _centroids_sql("embeddings"),
         "dedup_incremental": f"""{_D},
             snap AS (SELECT * FROM documents WHERE doc_id % 4 = 0)
             {DD.dedup_against_sql('documents_nd', 'snap')}""",

@@ -121,3 +121,35 @@ def test_stream_lexicon_drain_equals_batch_and_dup_safe(spark):
         ).collect()
     }
     assert want == {1: (3, 1), 3: (1, 0)}
+
+
+# ---------------------------------------------------------------------------
+# windowed_distinct_users / centroid_sums
+# ---------------------------------------------------------------------------
+
+def test_windowed_distinct_users_exact(spark):
+    from vaero_spark.operators.windows import windowed_distinct_users
+
+    rows = [
+        (_ts(1, 10), 7), (_ts(1, 20), 7), (_ts(1, 30), 9),  # hour 1: 2 users
+        (_ts(2, 5), 7),                                     # next day: 1 user
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = {r.win_start: (r.n_events, r.n_users)
+           for r in windowed_distinct_users(df).collect()}
+    assert out[_ts(1, 0)] == (3, 2)
+    assert out[_ts(2, 0)] == (1, 1)
+
+
+def test_centroid_sums_exact_quantized(spark):
+    from vaero_spark.operators.cluster import centroid_sums
+
+    rows = [(0, [0.5, 1.0]), (0, [0.25, -1.0]), (1, [2.0, 0.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {(r.label, r.dim_idx): (r.sum_q, r.n_vecs)
+           for r in centroid_sums(df).collect()}
+    # quantization = floor(x * 1e6) per element, summed exactly
+    assert out[(0, 0)] == (500_000 + 250_000, 2)
+    assert out[(0, 1)] == (1_000_000 - 1_000_000, 2)
+    assert out[(1, 0)] == (2_000_000, 1)
+    assert out[(1, 1)] == (0, 1)

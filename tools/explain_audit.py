@@ -171,6 +171,18 @@ CHECKS = {
         ["SortAggregate"],
         ["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # exact windowed distinct users: a single distinct aggregate plans
+    # as the double-aggregation rewrite (partial groupBy(window, user)
+    # dedup → count), NOT the Expand form (that's multi-distinct only);
+    # the second shuffle carries one row per distinct pair, never raw
+    # events
+    "w_distinct": (["HashAggregate"], ["CartesianProduct", "Window", "Expand"]),
+    # centroid sufficient statistics: quantize + posexplode narrow,
+    # ONE map-side-combined groupBy — model-sized result, no join
+    "emb_centroids": (
+        ["Generate", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
 }
 
 

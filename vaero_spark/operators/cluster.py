@@ -117,3 +117,72 @@ def embed_kmeans(
             C_new[c] = vec / (np.linalg.norm(vec) + 1e-12)
         C = C_new
     return labels.select("vec_id", "cluster")
+
+
+def centroid_sums(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class CENTROID SUFFICIENT STATISTICS over an embedding
+    table: for every (label, dimension), the exact sum of the
+    1e-6-quantized vector components plus the class size — the
+    map-side-combinable statistic behind centroid classifiers,
+    per-class mean embeddings, and k-means seeding (divide sum by
+    count downstream; the SUM is kept so the op stays integer-exact
+    across engines, the repo parity rule — float mean reduction order
+    would differ).
+
+    100 TB shape: quantize narrow, posexplode to (label, dim, q) —
+    row count = vectors × dims but each row is 3 integers — then ONE
+    map-side-combined groupBy(label, dim); the result is
+    model-sized (classes × dims), never data-sized. Long format on
+    purpose: no per-group array reassembly, no collect_list state.
+
+    Output: (label, dim_idx, sum_q, n_vecs) — ``dim_idx`` 0-based.
+    """
+    from vaero_spark.sources.corpus import quantized
+
+    q = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(quantized(vec_col)).alias("dim_idx", "_q"),
+    )
+    return (
+        q.groupBy("label", "dim_idx")
+        .agg(
+            F.sum("_q").alias("sum_q"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select(
+            "label",
+            # posexplode yields int32; the DuckDB twin's generate_series
+            # yields BIGINT — align the dtype explicitly
+            F.col("dim_idx").cast("bigint").alias("dim_idx"),
+            "sum_q",
+            "n_vecs",
+        )
+    )
+
+
+def centroid_sums_sql(
+    table: str = "embeddings",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`centroid_sums` (standalone SELECT).
+    Parallel unnests zip (DuckDB 1.0 has no WITH ORDINALITY); SUM cast
+    OUTSIDE the aggregate (HUGEINT rule); dim_idx shifts to 0-based to
+    match ``posexplode``."""
+    from vaero_spark.sources.corpus import quantized_sql
+
+    qexpr = quantized_sql(vec_col)
+    return f"""
+    SELECT label, dim_idx,
+           CAST(SUM(_q) AS BIGINT) AS sum_q,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM (
+      SELECT {label_col} AS label,
+             unnest(generate_series(0, len(qv) - 1)) AS dim_idx,
+             unnest(qv) AS _q
+      FROM (SELECT {label_col}, {qexpr} AS qv FROM {table}))
+    GROUP BY 1, 2"""

@@ -154,3 +154,57 @@ def sessionize_sql(
     SELECT key, session_idx, COUNT(*) AS n_events,
            MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
     FROM sz_asgn GROUP BY 1, 2"""
+
+
+def windowed_distinct_users(
+    df: DataFrame,
+    duration: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Tumbling-window EXACT distinct-user counts over an event stream —
+    the traffic/uniques rollup every log-analytics surface starts from
+    (the reference computes per-prefix event counts implicitly in its
+    sink buffers; distinct users require real aggregation).
+
+    Exact distinct, not approximate: Spark plans a single
+    ``count(DISTINCT x)`` as the double-aggregation rewrite — a partial
+    groupBy(window, user) dedup (map-side combined) feeding the final
+    count, so the second shuffle carries one row per distinct
+    (window, user), never the raw event volume. At 100 TB
+    that is the standard exact-uniques plan; when a few-percent error
+    is acceptable, swap ``approx_count_distinct`` (HLL) for a
+    fixed-size sketch — kept exact here so the DuckDB oracle matches
+    bit-for-bit.
+
+    Output: (win_start, n_events, n_users), integer-exact.
+    """
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(user_col).alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def windowed_distinct_users_sql(
+    table: str = "events",
+    duration_sql: str = "INTERVAL '1 hour'",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> str:
+    """DuckDB twin of :func:`windowed_distinct_users` (standalone
+    SELECT): ``time_bucket`` mirrors ``F.window(...).start`` under the
+    pinned-UTC session."""
+    return f"""
+    SELECT time_bucket({duration_sql}, {ts_col}) AS win_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT {user_col}) AS n_users
+    FROM {table}
+    GROUP BY 1"""
