@@ -294,11 +294,21 @@ def _one_throughput_run(
     # writeback doesn't steal bandwidth from this run's timed window
     subprocess.run("sync", shell=True)
     probe = _cpu_probe()
-    proc = subprocess.run(
-        [sys.executable, __file__, "--throughput", "--cores", str(cores),
-         "--input", input_dir, "--rows", str(n_rows), "--passes", str(passes)],
-        capture_output=True, text=True, timeout=1200 + 600 * (passes - 1),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--throughput", "--cores", str(cores),
+             "--input", input_dir, "--rows", str(n_rows), "--passes", str(passes)],
+            capture_output=True, text=True, timeout=1200 + 600 * (passes - 1),
+        )
+    except subprocess.TimeoutExpired:
+        # a trial stuck in an extreme host-degradation window must NOT
+        # kill the bench — the artifact of record needs its final line
+        # unconditionally (r5: a local[2] trial that takes ~140 s quiet
+        # blew the 1200 s cap and the whole run died scaling-less).
+        # Record the timeout as a failed trial and let the convergence
+        # logic / budget handle it.
+        return {"error": f"trial timeout after {1200 + 600 * (passes - 1)}s "
+                         "(host degradation window)", "cpu_probe_mhps": probe}
     line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
     try:
         return {**json.loads(line), "cpu_probe_mhps": probe}
