@@ -298,7 +298,7 @@ def _one_throughput_run(
         proc = subprocess.run(
             [sys.executable, __file__, "--throughput", "--cores", str(cores),
              "--input", input_dir, "--rows", str(n_rows), "--passes", str(passes)],
-            capture_output=True, text=True, timeout=1200 + 600 * (passes - 1),
+            capture_output=True, text=True, timeout=900 + 300 * (passes - 1),
         )
     except subprocess.TimeoutExpired:
         # a trial stuck in an extreme host-degradation window must NOT
@@ -307,7 +307,7 @@ def _one_throughput_run(
         # blew the 1200 s cap and the whole run died scaling-less).
         # Record the timeout as a failed trial and let the convergence
         # logic / budget handle it.
-        return {"error": f"trial timeout after {1200 + 600 * (passes - 1)}s "
+        return {"error": f"trial timeout after {900 + 300 * (passes - 1)}s "
                          "(host degradation window)", "cpu_probe_mhps": probe}
     line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
     try:
@@ -442,22 +442,29 @@ def run_scaling(sf_dir: str) -> dict:
         budget runs out (never mid-minimum: the first `trials` trials
         of a group always run so a re-entry can't end with an
         un-judgeable window). Trials are tagged with their group number
-        so the unconverged fallback can median the FINAL group."""
+        so the unconverged fallback can median the FINAL group.
+
+        A group that STARTS over budget (a degraded host dragged the
+        earlier level through its cap — r5 measured trials 4-8x quiet
+        speed for over an hour) runs its mandatory minimum with
+        passes=1: turns/sec is a rate, so single-pass trials stay
+        comparable, and the level gets SOME judgeable evidence instead
+        of overshooting any outer wall-clock bound by 3x-pass trials."""
         group_no[cores] += 1
+        over = time.perf_counter() - t_start > budget_sec
+        passes = 1 if over else passes_by_level[cores]
         added = 0
         while True:
             runs[cores].append(
                 {
-                    **_one_throughput_run(
-                        cores, input_dir, n_rows, passes_by_level[cores]
-                    ),
+                    **_one_throughput_run(cores, input_dir, n_rows, passes),
                     "group": group_no[cores],
                 }
             )
             added += 1
             if _stable(_vals(cores)[-trials:]) or added >= cap:
                 return
-            if added >= trials and time.perf_counter() - t_start > budget_sec:
+            if added >= trials and (over or time.perf_counter() - t_start > budget_sec):
                 return
 
     for cores in SCALING_CORES:
