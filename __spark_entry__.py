@@ -561,6 +561,51 @@ def q_stream_cep(spark, sf_dir):
     )
 
 
+def q_stream_cep_kleene(spark, sf_dir):
+    """Streaming CEP with BOUNDED KLEENE quantifiers (operators/cep.
+    stream_cep_kleene, VERDICT r5 #5): earliest-completion matches of
+    't{1,3}u' per conversation as turns arrive — settled decisions in
+    bounded state plus a per-emission end-of-stream scan of the carry,
+    so the drained last emission equals the batch regex operator with
+    the reluctant pattern 't{1,3}?u' EXACTLY (hash-gated SQL oracle
+    for a stateful Kleene matcher)."""
+    import tempfile
+
+    from vaero_spark.operators.cep import stream_cep_kleene
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_sck_")
+    inp = _gate_stream_input(spark, sf_dir, "plain")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        stream_cep_kleene(src, CEP_KLEENE_PATTERN, watermark="60 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: later epochs supersede earlier emissions
+    for epoch_id, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = r
+    matched = [
+        (r.conv_id, r.n_turns, r.n_matches, r.first_match_turn)
+        for r in final.values()
+        if r.n_matches > 0
+    ]
+    return spark.createDataFrame(
+        matched, "conv_id string, n_turns long, n_matches long, first_match_turn long"
+    )
+
+
 def q_stream_open_sessions(spark, sf_dir):
     """Open-session tracking in CUSTOM state (applyInPandasWithState,
     EventTimeTimeout — the reference's time-cap flush timer,
@@ -1112,6 +1157,11 @@ def q_conv_assemble(spark, sf_dir):
 
 CEP_PATTERN = "tt+u"  # >=2 consecutive tool turns, then a user interrupt
 CEP_STREAM_LITERAL = "ttu"  # fixed-length form for the streaming state machine
+# bounded-Kleene streaming pattern (VERDICT r5 #5): 1-3 tool turns then
+# a user interrupt; max_len - min_len = 2 deliberately exercises the
+# settled/tail split (a viable-incomplete position can sit ahead of a
+# completed shorter match)
+CEP_KLEENE_PATTERN = "t{1,3}u"
 
 
 def q_cep_role_seq(spark, sf_dir):
@@ -1278,6 +1328,73 @@ def q_dedup_embedding_cos(spark, sf_dir):
     return DD.embedding_neardup_pairs(CORPUS.embeddings_with_dups(spark, sf_dir))
 
 
+def q_dedup_embedding_wide(spark, sf_dir):
+    """Wide-band LSH end-to-end (VERDICT r5 #6): the same near-dup
+    mining with ``n_estimate=1e8``, forcing ``auto_band_bits`` to the
+    2×32-bit banding whose BIGINT band keys overflowed int32 in r4 —
+    the driver now exercises the exact key-build the sizing targets
+    (previously pytest-pinned at the key level only)."""
+    return DD.embedding_neardup_pairs(
+        CORPUS.embeddings_with_dups(spark, sf_dir), n_estimate=100_000_000
+    )
+
+
+def q_emb_clusters(spark, sf_dir):
+    """SEMANTIC near-dup canonicalization (operators/dedup.
+    embedding_clusters): connected components over the embedding
+    cosine>=0.99 pair graph — banded sign-LSH pair mining, then the
+    shared min-label propagation loop (per-round localCheckpoint,
+    observe-ridden convergence); oracle = recursive-CTE reachability
+    over the same verified pair set."""
+    return DD.embedding_clusters(CORPUS.embeddings_with_dups(spark, sf_dir))
+
+
+def _emb_cos_pairs_body(bands: int, bits: int, min_sim_e4: int = 9900) -> str:
+    """CTE chain ending in ``epairs`` (id_a, id_b, sim_e4 >= threshold)
+    — the DuckDB twin of embedding_neardup_pairs at a given banding,
+    shared by the pair gates and the embedding-clusters closure."""
+    return f"""{CORPUS.EMBEDDINGS_ND_ORACLE_CTE},
+            q AS (SELECT vec_id, {CORPUS.quantized_sql()} AS qv FROM embeddings_nd),
+            el AS (SELECT vec_id, i, qv[i] AS v
+                   FROM q, unnest(generate_series(1, len(qv))) t(i)),
+            nn AS (SELECT vec_id, SUM(v * v) AS nsq FROM el GROUP BY vec_id),
+            bk AS (SELECT vec_id, unnest({SIM.sign_band_keys_sql('qv', bands, bits)}) AS bk FROM q),
+            cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM bk a JOIN bk b ON a.bk = b.bk
+                                        AND a.vec_id < b.vec_id),
+            dots AS (SELECT c.id_a, c.id_b, SUM(ea.v * eb.v) AS dot
+                     FROM cand c
+                     JOIN el ea ON ea.vec_id = c.id_a
+                     JOIN el eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+                     GROUP BY c.id_a, c.id_b),
+            epairs AS (SELECT * FROM (
+              SELECT d.id_a, d.id_b,
+                     CAST(floor(10000.0 * d.dot / (sqrt(CAST(na.nsq AS DOUBLE))
+                          * sqrt(CAST(nb.nsq AS DOUBLE)))) AS BIGINT) AS sim_e4
+              FROM dots d JOIN nn na ON na.vec_id = d.id_a
+                          JOIN nn nb ON nb.vec_id = d.id_b
+            ) WHERE sim_e4 >= {min_sim_e4})"""
+
+
+def _emb_cos_pairs_sql(bands: int, bits: int) -> str:
+    return f"WITH {_emb_cos_pairs_body(bands, bits)} SELECT * FROM epairs"
+
+
+def _emb_clusters_sql(bands: int, bits: int) -> str:
+    """Recursive min-label reachability over the embedding pair graph
+    (the dedup_clusters closure, on epairs instead of MinHash pairs)."""
+    return f"""WITH RECURSIVE {_emb_cos_pairs_body(bands, bits)},
+            esym AS (SELECT id_a AS a, id_b AS b FROM epairs
+                     UNION ALL SELECT id_b, id_a FROM epairs),
+            ereach AS (
+              SELECT a AS node, a AS lab FROM esym
+              UNION
+              SELECT s.b, r.lab FROM ereach r JOIN esym s ON s.a = r.node
+            )
+            SELECT node AS vec_id, MIN(lab) AS cluster_id
+            FROM ereach GROUP BY node"""
+
+
 def _ann_queries(df):
     return df.filter(F.col("vec_id") % 25 == 0)
 
@@ -1390,12 +1507,51 @@ def q_corpus_novelty(spark, sf_dir):
 
 def q_json_profile(spark, sf_dir):
     """Semi-structured schema discovery (operators/analytics.
-    json_profile): per JSON key across events.props — presence count,
-    integer-typed count, lexicographic value range; keys explode narrow,
-    one map-side-combined groupBy, schema-sized result."""
+    json_profile): per JSON path across events.props — presence count,
+    integer-typed count, object count, scalar-only lexicographic value
+    range; keys explode narrow, one map-side-combined groupBy,
+    schema-sized result."""
     from vaero_spark.operators.analytics import json_profile
 
     return json_profile(load_table(spark, sf_dir, "events"))
+
+
+# The nested-payload fixture (VERDICT r5 #8): a 3-deep JSON document
+# built by IDENTICAL string concatenation from events columns in both
+# engines — object recursion (actor.geo.city), an embedded flat object
+# (the real props), an array value, and a JSON null all exercised.
+_NESTED_PROPS_SPARK = [
+    '{"actor":{"id":', ("user_id", "string"),
+    ',"geo":{"city":"c', ("user_id % 7", "string"),
+    '"}},"evt":"', ("event_type", None),
+    '","props":', ("props", None),
+    ',"tags":[', ("event_id % 3", "string"),
+    '],"z":null}',
+]
+_NESTED_PROPS_CTE = """nested AS (
+      SELECT '{"actor":{"id":' || user_id || ',"geo":{"city":"c'
+             || (user_id % 7) || '"}},"evt":"' || event_type
+             || '","props":' || props || ',"tags":[' || (event_id % 3)
+             || '],"z":null}' AS props
+      FROM events), """
+
+
+def q_json_profile_nested(spark, sf_dir):
+    """Nested schema discovery (VERDICT r5 #8): json_profile over a
+    3-deep payload — dotted paths (actor.geo.city), object counts, and
+    the ADVICE r5 scalar-only min/max guard (the array + embedded
+    object never reach val_min/val_max), oracle-exact."""
+    from pyspark.sql import functions as F
+
+    from vaero_spark.operators.analytics import json_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        F.lit(p) if isinstance(p, str)
+        else (F.expr(p[0]).cast(p[1]) if p[1] else F.expr(p[0]))
+        for p in _NESTED_PROPS_SPARK
+    ]
+    return json_profile(ev.select(F.concat(*parts).alias("props")))
 
 
 def q_stream_lexicon(spark, sf_dir):
@@ -1440,140 +1596,18 @@ def q_stream_lexicon(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
-    50 entries. With 80 gate queries, coverage ROTATES (VERDICT r4 #2):
-    the queries outside round 4's window lead this round, the 20 new
-    round-5 ops sit in-window for their first correctness row, and the
-    30 now past position 50 each carry 2+ rounds of green driver
-    history AND stay in the full local replay (``tools/check_oracle.py``
-    runs all 80) — every operator family keeps an in-window
-    representative."""
+    50 entries. Coverage ROTATES per the standing r4 #2 rule, and this
+    round executes VERDICT r5 #2 verbatim: the 39 queries whose last
+    driver-green row is r3/r4 LEAD the window, the new round-6 ops sit
+    in-window for their first correctness row, and the remaining slots
+    hold family representatives of the round-5 cohort. The rotated-out
+    r5 queries carry one round of driver history (not the usual 2 —
+    the r5 cohort was 28 new ops and the window only holds 50); every
+    one keeps an in-window family sibling AND stays in the full local
+    replay (``tools/check_oracle.py`` runs everything), so after
+    CORRECTNESS_r06 every query's newest green row is <= 1 round old."""
     return {
-        # -- rotated IN (formally untested in CORRECTNESS_r04) --------
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_cos": q_dedup_embedding_cos,
-        "ann_brute": q_ann_brute,
-        "ann_bucketed": q_ann_bucketed,
-        "ann_hyperplane": q_ann_hyperplane,
-        "ann_ivf": q_ann_ivf,
-        "mm_meta": q_mm_meta,
-        "mm_features": q_mm_features,
-        # -- in-window representatives of every family ----------------
-        "route_branch": q_route,
-        "stream_join": q_stream_join,
-        "s3_ingest": q_s3_ingest,
-        "dedup_keep": q_dedup_keep,
-        "corpus_curate": q_corpus_curate,
-        "corpus_sample": q_corpus_sample,
-        "emb_kmeans": q_emb_kmeans,
-        "corpus_pack": q_corpus_pack,
-        "corpus_decontam": q_corpus_decontam,
-        "pii_scrub": q_pii_scrub,
-        "txt_repetition": q_txt_repetition,
-        "dedup_simhash_auto": q_dedup_simhash_auto,
-        # -- NEW this round (must be in-window for a first correctness row)
-        "txt_boilerplate": q_txt_boilerplate,
-        "corpus_bm25": q_corpus_bm25,
-        "corpus_mix": q_corpus_mix,
-        "cep_role_seq": q_cep_role_seq,
-        "stream_cep": q_stream_cep,
-        "conv_funnel": q_conv_funnel,
-        "rate_spikes": q_rate_spikes,
-        "stream_spikes": q_stream_spikes,
-        "cohort_retention": q_cohort_retention,
-        "dedup_passage": q_dedup_passage,
-        "stream_funnel": q_stream_funnel,
-        "quality_gate": q_quality_gate,
-        "vocab_merges": q_vocab_merges,
-        "chunk_rag": q_chunk_rag,
-        "dedup_incremental": q_dedup_incremental,
-        "group_topk": q_group_topk,
-        "events_sessions": q_events_sessions,
-        "corpus_quantiles": q_corpus_quantiles,
-        "conv_latency": q_conv_latency,
-        "corpus_index": q_corpus_index,
-        "cooccur_lift": q_cooccur_lift,
-        "bpe_encode": q_bpe_encode,
-        "lexicon_filter": q_lexicon_filter,
-        "tool_transitions": q_tool_transitions,
-        "corpus_novelty": q_corpus_novelty,
-        "json_profile": q_json_profile,
-        "stream_lexicon": q_stream_lexicon,
-        "w_distinct": q_w_distinct,
-        "emb_centroids": q_emb_centroids,
-        # -- past the 50-entry window this round (rotated OUT; each is
-        #    2+ rounds driver-green, each family still covered above:
-        #    t_sample→corpus_sample, t_annotate→txt_quality/langid,
-        #    dedup_exact+stream_dedup→stream_dedup_wm,
-        #    j_user_tool+stream_session→stream_join/stream_open_sessions,
-        #    nation_revenue/top_customers→q_pricing/txt_topk_tokens,
-        #    simhash/_pairs→dedup_simhash_auto (same pairs path),
-        #    w_sliding→w_tumbling/w_session (same windows row),
-        #    stream_counters→stream_open_sessions (same custom-state row),
-        #    mm_frames→mm_meta/mm_features (same multimodal row),
-        #    t_add→route_branch (its branch lambdas run TR.add in-window;
-        #    4 rounds of green driver history r1-r4),
-        #    t_select→t_rename_delete/t_mask (projection family; 4 rounds
-        #    of green driver history r1-r4)
-        #    t_mask→t_parse_regexp/t_filter_regexp (regex-transform
-        #    family; r1-r4 driver-green),
-        #    http_ingest→s3_ingest/api_paginated (exactly-once ingest
-        #    family; r3-r4 driver-green),
-        #    stream_counters+stream_open_sessions→stream_spikes (the
-        #    applyInPandasWithState custom-state family; r3-r4 green)
-        #    t_parse_regexp→t_filter_regexp (regex-transform family;
-        #    r1-r4 driver-green — rotated out to keep the new
-        #    cohort_retention inside the 50-entry window),
-        #    txt_tokens→txt_quality (same one-tokenize-pass family;
-        #    r2-r4 driver-green),
-        #    txt_langid→corpus_curate (lang_id runs inside the in-window
-        #    curation gate; r2-r4 driver-green),
-        #    dedup_minhash→dedup_clusters/dedup_keep (the same
-        #    MinHash+LSH+verify pipeline feeds both in-window ops;
-        #    r2-r4 driver-green),
-        #    txt_fingerprint→txt_repetition (shingle-signal family,
-        #    same tokenize+shingle core; r2-r4 driver-green),
-        #    w_session→w_tumbling (windows family; r2-r4 driver-green),
-        #    stream_pipeline→stream_dedup_wm/stream_join/s3_ingest (the
-        #    streaming-pipeline + exactly-once-sink family; r1-r4
-        #    driver-green),
-        #    api_paginated→s3_ingest (exactly-once ingest-replay family;
-        #    r3-r4 driver-green),
-        #    dedup_exact_docs→dedup_incremental (exact md5-hash dedup
-        #    family, now represented by the cross-snapshot op; r2-r4
-        #    driver-green),
-        #    t_rename_delete→t_filter_regexp (transforms family; r1-r4
-        #    driver-green),
-        #    txt_quality→quality_gate/corpus_curate/corpus_stats (the
-        #    quality-score expressions run inside three in-window ops;
-        #    r1-r4 driver-green),
-        #    agg_salted→group_topk (the salted two-phase skew defense,
-        #    same pattern now driver-gated at top-k granularity; r1-r4
-        #    driver-green),
-        #    txt_topk_tokens→cooccur_lift/txt_repetition (token-stats
-        #    family — cooccur runs the same tokenize+groupBy-count core
-        #    plus marginals; r3-r4 driver-green),
-        #    corpus_stats→corpus_quantiles/corpus_curate (per-language
-        #    corpus-rollup family; r3-r4 driver-green),
-        #    conv_assemble→conv_funnel/conv_latency/tool_transitions
-        #    (conversation-keyed window/agg family; r3-r4 driver-green),
-        #    dedup_clusters→dedup_keep (dedup_keep REBUILDS the full
-        #    cluster pipeline in-window every round; r3-r4 driver-green),
-        #    j_asof→stream_join (join family stays represented; j_asof
-        #    r3-r4 driver-green and j_user_tool r1-r4),
-        #    stream_dedup_wm→stream_lexicon/stream_funnel/stream_cep
-        #    (the stateful-streaming family, now with the new lexicon
-        #    monitor in-window) + dedup_incremental (dedup family;
-        #    stream_dedup_wm r2-r4 driver-green),
-        #    q_pricing→corpus_quantiles/group_topk/cohort_retention
-        #    (the scan→filter→multi-aggregate shape; q_pricing carries
-        #    r1-r4 driver-green — the deepest history in the suite),
-        #    w_tumbling→w_distinct (windowed-aggregate family — the new
-        #    distinct-users op runs the same F.window groupBy core;
-        #    w_tumbling r1-r4 driver-green),
-        #    t_filter_regexp→route_branch (route_branch's two branches
-        #    RUN filter_regexp in-window every round; t_filter_regexp
-        #    r1-r4 driver-green + pure-Python-oracle parity pytest)
+        # -- rotated IN (VERDICT r5 #2: last driver-green row r3/r4) --
         "t_add": q_t_add,
         "t_select": q_t_select,
         "t_mask": q_t_mask,
@@ -1613,6 +1647,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_wm": q_stream_dedup_wm,
         "w_tumbling": q_w_tumbling,
         "t_filter_regexp": q_t_filter,
+        # -- NEW this round (first correctness row must be in-window) --
+        "json_profile_nested": q_json_profile_nested,
+        "stream_cep_kleene": q_stream_cep_kleene,
+        "dedup_embedding_wide": q_dedup_embedding_wide,
+        "emb_clusters": q_emb_clusters,
+        # -- family representatives of the round-5 cohort (fill) -------
+        "route_branch": q_route,
+        "s3_ingest": q_s3_ingest,
+        "cep_role_seq": q_cep_role_seq,
+        "conv_funnel": q_conv_funnel,
+        "quality_gate": q_quality_gate,
+        "corpus_bm25": q_corpus_bm25,
+        "emb_centroids": q_emb_centroids,
+        # ==== position 51+: rotated OUT this round (r5 driver-green;
+        # family siblings in-window: stream_join→stream_dedup_wm/
+        # stream_lexicon, dedup_keep+dedup_ngram_jaccard+dedup_passage+
+        # corpus_novelty→dedup_clusters/dedup_minhash/dedup_incremental,
+        # corpus_curate+corpus_sample+corpus_mix+corpus_decontam+
+        # pii_scrub+txt_boilerplate+lexicon_filter→quality_gate/
+        # txt_quality/stream_lexicon, emb_kmeans+ann_*+dedup_embedding*
+        # →emb_centroids, chunk_rag→corpus_pack, stream_cep→cep_role_seq
+        # (+ the new stream_cep family work this round), rate_spikes+
+        # stream_spikes+cohort_retention+conv_latency+tool_transitions+
+        # json_profile→conv_funnel/json_profile_nested, vocab_merges+
+        # bpe_encode+cooccur_lift+txt_repetition→txt_topk_tokens/
+        # txt_fingerprint, corpus_quantiles→corpus_stats, corpus_index
+        # →corpus_bm25, group_topk→agg_salted, events_sessions→
+        # w_session, w_distinct→w_tumbling, stream_funnel→
+        # stream_lexicon, dedup_simhash_auto→dedup_simhash/_pairs,
+        # mm_meta+mm_features→mm_frames) ===============================
+        "corpus_pack": q_corpus_pack,
+        "dedup_incremental": q_dedup_incremental,
+        "stream_lexicon": q_stream_lexicon,
+        "stream_join": q_stream_join,
+        "dedup_keep": q_dedup_keep,
+        "corpus_curate": q_corpus_curate,
+        "corpus_sample": q_corpus_sample,
+        "emb_kmeans": q_emb_kmeans,
+        "corpus_decontam": q_corpus_decontam,
+        "pii_scrub": q_pii_scrub,
+        "txt_repetition": q_txt_repetition,
+        "dedup_simhash_auto": q_dedup_simhash_auto,
+        "txt_boilerplate": q_txt_boilerplate,
+        "corpus_mix": q_corpus_mix,
+        "stream_cep": q_stream_cep,
+        "rate_spikes": q_rate_spikes,
+        "stream_spikes": q_stream_spikes,
+        "cohort_retention": q_cohort_retention,
+        "dedup_passage": q_dedup_passage,
+        "stream_funnel": q_stream_funnel,
+        "vocab_merges": q_vocab_merges,
+        "chunk_rag": q_chunk_rag,
+        "group_topk": q_group_topk,
+        "events_sessions": q_events_sessions,
+        "corpus_quantiles": q_corpus_quantiles,
+        "conv_latency": q_conv_latency,
+        "corpus_index": q_corpus_index,
+        "cooccur_lift": q_cooccur_lift,
+        "bpe_encode": q_bpe_encode,
+        "lexicon_filter": q_lexicon_filter,
+        "tool_transitions": q_tool_transitions,
+        "corpus_novelty": q_corpus_novelty,
+        "json_profile": q_json_profile,
+        "w_distinct": q_w_distinct,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_cos": q_dedup_embedding_cos,
+        "ann_brute": q_ann_brute,
+        "ann_bucketed": q_ann_bucketed,
+        "ann_hyperplane": q_ann_hyperplane,
+        "ann_ivf": q_ann_ivf,
+        "mm_meta": q_mm_meta,
+        "mm_features": q_mm_features,
     }
 
 
@@ -2046,6 +2153,12 @@ def oracle_sql() -> dict[str, str]:
         # streaming CEP drains to the SAME result as the batch regex op
         # on the literal pattern — the state machine gets an exact oracle
         "stream_cep": f"{_T} {CEP.cep_match_sql('transcripts', CEP_STREAM_LITERAL)}",
+        # the reluctant form IS the earliest-completion semantics the
+        # streaming Kleene machine implements (cep.py docstring)
+        "stream_cep_kleene": f"""{_T} {CEP.cep_match_sql(
+            'transcripts',
+            CEP.parse_kleene_pattern(CEP_KLEENE_PATTERN, CEP.ROLE_SYMBOLS)[2],
+        )}""",
         "conv_funnel": f"{_T},\n"
         + _funnel_sql("transcripts", [(r, f"role = '{r}'") for r in FUNNEL_ROLES]),
         # streaming funnel drains to the batch per-conversation
@@ -2067,6 +2180,9 @@ def oracle_sql() -> dict[str, str]:
         "tool_transitions": f"{_T}, {_tooltrans_sql('transcripts')}",
         "corpus_novelty": DD.shingle_novelty_sql("documents"),
         "json_profile": _jprofile_sql("events"),
+        "json_profile_nested": _jprofile_sql(
+            "nested", extra_cte=_NESTED_PROPS_CTE
+        ),
         "stream_lexicon": f"{_T}, {_slex_sql('transcripts', STREAM_LEXICON)}",
         "w_distinct": _wdistinct_sql("events"),
         "emb_centroids": _centroids_sql("embeddings"),
@@ -2094,27 +2210,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(vec_id) AS keep_id, count(*) AS n_copies,
                    array_to_string(list_sort(list(vec_id)), ',') AS members
             FROM sigs GROUP BY vec_sig HAVING count(*) > 1""",
-        "dedup_embedding_cos": f"""{_E},
-            q AS (SELECT vec_id, {CORPUS.quantized_sql()} AS qv FROM embeddings_nd),
-            el AS (SELECT vec_id, i, qv[i] AS v
-                   FROM q, unnest(generate_series(1, len(qv))) t(i)),
-            nn AS (SELECT vec_id, SUM(v * v) AS nsq FROM el GROUP BY vec_id),
-            bk AS (SELECT vec_id, unnest({SIM.sign_band_keys_sql('qv')}) AS bk FROM q),
-            cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                     FROM bk a JOIN bk b ON a.bk = b.bk
-                                        AND a.vec_id < b.vec_id),
-            dots AS (SELECT c.id_a, c.id_b, SUM(ea.v * eb.v) AS dot
-                     FROM cand c
-                     JOIN el ea ON ea.vec_id = c.id_a
-                     JOIN el eb ON eb.vec_id = c.id_b AND eb.i = ea.i
-                     GROUP BY c.id_a, c.id_b)
-            SELECT * FROM (
-              SELECT d.id_a, d.id_b,
-                     CAST(floor(10000.0 * d.dot / (sqrt(CAST(na.nsq AS DOUBLE))
-                          * sqrt(CAST(nb.nsq AS DOUBLE)))) AS BIGINT) AS sim_e4
-              FROM dots d JOIN nn na ON na.vec_id = d.id_a
-                          JOIN nn nb ON nb.vec_id = d.id_b
-            ) WHERE sim_e4 >= 9900""",
+        "dedup_embedding_cos": _emb_cos_pairs_sql(
+            SIM.SIGN_BANDS, SIM.SIGN_BAND_BITS
+        ),
+        # the auto-sized wide-band path (n_estimate=1e8 → 2×32-bit
+        # bands, VERDICT r5 #6): the exact key build that overflowed
+        # int32 in r4, now driver-exercised end-to-end
+        "dedup_embedding_wide": _emb_cos_pairs_sql(2, 32),
+        "emb_clusters": _emb_clusters_sql(SIM.SIGN_BANDS, SIM.SIGN_BAND_BITS),
         "ann_brute": _ann_sql(bucketed=False),
         "ann_bucketed": _ann_sql(bucketed=True),
         # ann_hyperplane: intentionally no oracle (float matmul in a

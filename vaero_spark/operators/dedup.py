@@ -266,11 +266,26 @@ def neardup_clusters(
     rounds; near-dup components are shallow, so the default cap is
     generous)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, min_jaccard_pct)
-    edges = pairs.select("id_a", "id_b")
+    labels = _min_label_components(
+        pairs.select("id_a", "id_b"), max_iters, op_name="neardup_clusters"
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+
+
+def _min_label_components(
+    edges: DataFrame, max_iters: int, op_name: str = "components"
+) -> DataFrame:
+    """(node, lab) min-label connected components over an (id_a, id_b)
+    edge DataFrame — the shared iterative core of
+    :func:`neardup_clusters` and :func:`embedding_clusters` (see the
+    former's docstring for the localCheckpoint / observe-convergence
+    rationale)."""
     # persist the (tiny) symmetric edge list: every propagation round
     # references it, and without the cache each round would re-run the
-    # whole MinHash pipeline (keep_existing: the op's shingle index is
-    # already registered by minhash_lsh_pairs)
+    # whole candidate-pair pipeline (keep_existing: the callers'
+    # shingle/band indexes are already registered upstream)
     sym = _persist_managed(
         edges.unionByName(
             edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -292,7 +307,7 @@ def neardup_clusters(
         # flags while ``localCheckpoint`` materializes the round, and
         # the loop reads the metric — no separate isEmpty/count probe
         # job per round (was one extra join-scan per iteration).
-        obs = Observation(f"cc_round_{it}")
+        obs = Observation(f"cc_{op_name}_round_{it}")
         new_labels = (
             labels.unionByName(prop)
             .groupBy("node")
@@ -312,11 +327,44 @@ def neardup_clusters(
             break
     else:
         raise RuntimeError(
-            f"neardup_clusters did not converge in {max_iters} rounds — "
+            f"{op_name} did not converge in {max_iters} rounds — "
             "the pair graph has a component deeper than max_iters; raise it"
         )
+    return labels
+
+
+def embedding_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    min_sim_e4: int = 9900,
+    n_estimate: int | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """SEMANTIC near-dup canonicalization: connected components over
+    the embedding near-dup pair graph (:func:`embedding_neardup_pairs`)
+    — the embedding-space twin of :func:`neardup_clusters` (which
+    clusters the lexical MinHash graph). The step that turns pairwise
+    cosine findings into a keep-one-per-cluster decision for
+    semantically-duplicated corpora (re-crawls, templated rewrites,
+    translations sharing an embedding). Output: (vec_id, cluster_id)
+    for every vector in >= 1 near-dup pair; cluster_id = min reachable
+    vec_id, so ``vec_id == cluster_id`` marks the canonical keeper.
+
+    100 TB shape: pair mining is the banded sign-LSH equi-join (auto-
+    sized via ``n_estimate``), the CC loop is the shared min-label
+    propagation (one join + one groupBy-min per round, per-round
+    ``localCheckpoint``, convergence via ``observe`` on the round's own
+    job). Oracle: recursive-CTE reachability over the same verified
+    pair set — exact, because pair admission (``sim_e4``) is the
+    established quantized-int path and the closure is integer-only."""
+    pairs = embedding_neardup_pairs(
+        df, vec_col=vec_col, min_sim_e4=min_sim_e4, n_estimate=n_estimate
+    )
+    labels = _min_label_components(
+        pairs.select("id_a", "id_b"), max_iters, op_name="embedding_clusters"
+    )
     return labels.select(
-        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+        F.col("node").alias("vec_id"), F.col("lab").alias("cluster_id")
     )
 
 
