@@ -813,6 +813,39 @@ def q_txt_fingerprint(spark, sf_dir):
     return TXT.fingerprint_agg(d, "doc_id", "text")
 
 
+def q_fingerprint_search(spark, sf_dir):
+    """Winnowing-fingerprint RETRIEVAL (operators/search.
+    fingerprint_search, the MOSS query shape): the planted near-dup
+    copies act as suspect documents and must retrieve their originals
+    via shared winnow-selected hashes — inverted index on the sampled
+    hash space with a boilerplate document-frequency cap, one (query,
+    doc) groupBy, never doc×doc."""
+    from vaero_spark.operators.search import fingerprint_search
+
+    corpus = CORPUS.documents_with_neardups(spark, sf_dir)
+    suspects = corpus.filter(F.col("doc_id") >= CORPUS.ND_OFFSET)
+    return fingerprint_search(corpus, suspects)
+
+
+def q_tok_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility audit (functions/text.
+    tokenizer_fertility): subword tokens per whitespace word in basis
+    points — the multilingual-tokenizer health check; tokenize-once
+    narrow projection, one map-side-combined groupBy(lang)."""
+    return TXT.tokenizer_fertility(CORPUS.load_documents(spark, sf_dir))
+
+
+def q_conv_quality(spark, sf_dir):
+    """Conversation-level quality gate (operators/curate.
+    conversation_quality): per-conversation floor-mean/min quality_bp
+    rollup + keep flag — the transcript-native curation decision (whole
+    conversations are kept or dropped, not turns); one shuffle on
+    conv_id."""
+    from vaero_spark.operators.curate import conversation_quality
+
+    return conversation_quality(load_transcripts(spark, sf_dir))
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     """Exact text dedup: hash-groupBy on md5(text)."""
     return DD.exact_dedup(CORPUS.documents_with_neardups(spark, sf_dir))
@@ -1479,6 +1512,51 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(load_transcripts(spark, sf_dir))
 
 
+def q_stream_w_distinct(spark, sf_dir):
+    """STREAMING exact hourly distinct users (operators/windows.
+    stream_windowed_distinct): chained stateful operators — watermark →
+    dropDuplicates(window, user) → windowed count, APPEND mode, each
+    window emitted exactly once when the watermark passes its end.
+    Bounded-replay drain: the backlog feeds as ONE batch (the watermark
+    advances only between batches, so nothing is late) and a sentinel
+    event past max_ts + watermark + 2 windows flushes every real
+    window; the sentinel's own window stays held, so emitted rows ==
+    the batch aggregate exactly."""
+    import datetime
+    import tempfile
+
+    from vaero_spark.operators.windows import stream_windowed_distinct
+    from vaero_spark.sinks.writers import MemorySink
+
+    # events.ts is parquet NTZ; watermarks need TIMESTAMP (UTC session
+    # => same wall time, the house convention from stream_lexicon)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    work = tempfile.mkdtemp(prefix="vaero_q_swd_")
+    inp = f"{work}/in"
+    ev.write.parquet(inp)
+    src = spark.readStream.schema(ev.schema).parquet(inp)  # one batch
+    sink = MemorySink()
+    q = (
+        stream_windowed_distinct(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: the full backlog, nothing late
+    sentinel = spark.createDataFrame(
+        [(max_ts + datetime.timedelta(hours=3), -1)], ev.schema
+    )
+    sentinel.write.mode("append").parquet(inp)
+    q.processAllAvailable()  # batch 2: watermark jumps, windows flush
+    q.stop()
+    rows = [(r.win_start, r.n_users) for _, batch in sink.batches for r in batch]
+    return spark.createDataFrame(rows, "win_start timestamp, n_users long")
+
+
 def q_w_distinct(spark, sf_dir):
     """Hourly EXACT distinct-user counts over events (operators/windows.
     windowed_distinct_users): the two-phase expand/partial-agg distinct
@@ -1652,14 +1730,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep_kleene": q_stream_cep_kleene,
         "dedup_embedding_wide": q_dedup_embedding_wide,
         "emb_clusters": q_emb_clusters,
-        # -- family representatives of the round-5 cohort (fill) -------
+        "fingerprint_search": q_fingerprint_search,
+        "tok_fertility": q_tok_fertility,
+        "conv_quality": q_conv_quality,
+        "stream_w_distinct": q_stream_w_distinct,
+        # -- family representatives of the round-5 cohort (fill; CEP's
+        #    in-window rep is stream_cep_kleene) ----------------------
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
-        "cep_role_seq": q_cep_role_seq,
         "conv_funnel": q_conv_funnel,
-        "quality_gate": q_quality_gate,
-        "corpus_bm25": q_corpus_bm25,
-        "emb_centroids": q_emb_centroids,
         # ==== position 51+: rotated OUT this round (r5 driver-green;
         # family siblings in-window: stream_join→stream_dedup_wm/
         # stream_lexicon, dedup_keep+dedup_ngram_jaccard+dedup_passage+
@@ -1677,6 +1756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # w_session, w_distinct→w_tumbling, stream_funnel→
         # stream_lexicon, dedup_simhash_auto→dedup_simhash/_pairs,
         # mm_meta+mm_features→mm_frames) ===============================
+        "cep_role_seq": q_cep_role_seq,
+        "quality_gate": q_quality_gate,
+        "corpus_bm25": q_corpus_bm25,
+        "emb_centroids": q_emb_centroids,
         "corpus_pack": q_corpus_pack,
         "dedup_incremental": q_dedup_incremental,
         "stream_lexicon": q_stream_lexicon,
@@ -1825,6 +1908,8 @@ from vaero_spark.operators.assemble import pack_sequences_sql as _pack_sql
 from vaero_spark.operators.assemble import chunk_tokens_sql as _chunk_sql
 from vaero_spark.operators.analytics import response_latency_sql as _latency_sql
 from vaero_spark.operators.search import build_postings_sql as _postings_sql
+from vaero_spark.operators.search import fingerprint_search_sql as _fpsearch_sql
+from vaero_spark.operators.curate import conversation_quality_sql as _convq_sql
 from vaero_spark.operators.windows import sessionize_sql as _sessionize_sql
 from vaero_spark.operators.curate import decontaminate_sql as _decontam_sql
 from vaero_spark.operators.curate import pii_scrub_sql as _pii_sql
@@ -2108,6 +2193,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST({TXT.lang_id_sql()} = lang AS INTEGER) AS agree
             FROM documents""",
         "txt_fingerprint": f"SELECT doc_id, {TXT.fingerprint_sql()} AS fingerprint FROM documents",
+        "fingerprint_search": f"""{_D}, {_fpsearch_sql(
+            'documents_nd', f'doc_id >= {CORPUS.ND_OFFSET}'
+        )}""",
+        "tok_fertility": TXT.tokenizer_fertility_sql("documents"),
+        "conv_quality": f"{_T} {_convq_sql('transcripts')}",
         "txt_topk_tokens": TXT.token_topk_sql("documents"),
         "corpus_stats": TXT.corpus_stats_sql("documents"),
         "conv_assemble": f"{_T} {_assemble_sql('transcripts')}",
@@ -2185,6 +2275,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_lexicon": f"{_T}, {_slex_sql('transcripts', STREAM_LEXICON)}",
         "w_distinct": _wdistinct_sql("events"),
+        "stream_w_distinct": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1""",
         "emb_centroids": _centroids_sql("embeddings"),
         "dedup_incremental": f"""{_D},
             snap AS (SELECT * FROM documents WHERE doc_id % 4 = 0)

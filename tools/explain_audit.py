@@ -189,6 +189,25 @@ CHECKS = {
         ["Generate", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # tokenizer fertility: tokenize-once narrow projection + ONE
+    # map-side-combined groupBy(lang) — no join, no window
+    "tok_fertility": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # conversation rollup: narrow per-turn quality + ONE groupBy(conv);
+    # the transcripts derivation itself uses a conv-partitioned window
+    # (turn ordering), so only a WHOLE-table window is forbidden
+    "conv_quality": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window whole"],
+    ),
+    # fingerprint retrieval: per-doc winnow window (PARTITIONED by doc)
+    # + fp equi-joins + (query, doc) groupBy — never a cross product
+    "fingerprint_search": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

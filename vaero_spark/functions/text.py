@@ -151,6 +151,18 @@ def quality_columns(col: str | Column, tok: Column | None = None) -> dict[str, C
     }
 
 
+def quality_bp_sql(text_col: str = "text") -> str:
+    """Just the ``quality_bp`` expression (DuckDB) over an arbitrary
+    text column — the single-column form of :func:`quality_sql`,
+    shared by the corpus/conversation rollup twins."""
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    tok = tokens_sql(text_col)
+    return f"""least(CAST(10000 AS BIGINT),
+            2 * CAST(floor(10000.0 * len(list_filter({tok}, t -> list_contains([{sw}], t)))
+                           / greatest(len({tok}), 1)) AS BIGINT)
+            + 10 * least(CAST(len({tok}) AS BIGINT), 500))"""
+
+
 def quality_sql() -> str:
     sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     tok = tokens_sql()
@@ -318,6 +330,60 @@ def corpus_stats(df, text_col: str = "text"):
     )
 
 
+def tokenizer_fertility(df, text_col: str = "text"):
+    """Per-language TOKENIZER FERTILITY — the tokenizer-audit table of
+    an LLM data pipeline: how many subword (BPE-ish regex) tokens the
+    tokenizer spends per whitespace word, by language, in basis points
+    (``fertility_bp = 10000·Σn_bpe div Σn_ws``). High-fertility
+    languages are under-served by the vocabulary (the standard
+    multilingual-tokenizer health check); pure BIGINT arithmetic keeps
+    it hash-exact cross-engine.
+
+    100 TB shape: tokenize-once narrow projection → ONE
+    map-side-combined groupBy(lang); result is language-count-sized.
+
+    Output: (lang, n_docs, ws_tokens, bpe_tokens, fertility_bp).
+    """
+    tok = tokens(text_col)
+    base = df.select(
+        F.col(text_col).alias("_t"), tok.alias("_tok")
+    ).select(
+        lang_id(F.col("_t"), tok=F.col("_tok")).alias("lang"),
+        F.size("_tok").cast("bigint").alias("_nws"),
+        F.size(
+            F.regexp_extract_all(F.col("_t"), F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).cast("bigint").alias("_nbpe"),
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nws").alias("ws_tokens"),
+        F.sum("_nbpe").alias("bpe_tokens"),
+        F.expr(
+            "(10000 * sum(_nbpe)) div greatest(sum(_nws), 1)"
+        ).alias("fertility_bp"),
+    )
+
+
+def tokenizer_fertility_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`tokenizer_fertility` (standalone SELECT);
+    SUM cast OUTSIDE (HUGEINT rule), integer division only."""
+    lang = lang_id_sql(text_col)
+    tok = tokens_sql(text_col)
+    return f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(nws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(nbpe) AS BIGINT) AS bpe_tokens,
+               CAST((10000 * SUM(nbpe)) // greatest(SUM(nws), 1) AS BIGINT)
+                 AS fertility_bp
+        FROM (
+          SELECT {lang} AS lang,
+                 CAST(len({tok}) AS BIGINT) AS nws,
+                 CAST(len(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}')) AS BIGINT)
+                   AS nbpe
+          FROM {table}
+        ) GROUP BY lang"""
+
+
 def corpus_stats_sql(table: str = "documents", text_col: str = "text") -> str:
     lang = lang_id_sql(text_col)
     tok = tokens_sql(text_col)
@@ -392,6 +458,47 @@ def fingerprint_agg(
             "fingerprint"
         )
     )
+
+
+def fingerprint_postings(
+    df, id_col: str = "doc_id", col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W
+):
+    """(id, ..., text) → (id, fp): the DISTINCT winnowing-selected
+    window-min hashes per document — :func:`fingerprint_agg` stopped
+    one step early (before the digest), exposing the selected hash SET
+    as rows so it can drive retrieval (``operators/search.
+    fingerprint_search``) instead of only identity comparison."""
+    from pyspark.sql import Window
+
+    base = with_shingle_arrays(df, col, k).select(
+        F.col(id_col),
+        F.size("_sh").alias("_n_sh"),
+        F.posexplode("_sh").alias("_pos", "_shingle"),
+    )
+    rows = base.withColumn("_h", F.md5("_shingle"))
+    win = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    rows = rows.withColumn("_winmin", F.min("_h").over(win))
+    kept = rows.filter(
+        F.col("_pos") < F.greatest(F.col("_n_sh") - F.lit(w - 1), F.lit(1))
+    )
+    return kept.select(F.col(id_col), F.col("_winmin").alias("fp")).distinct()
+
+
+def fingerprint_postings_sql(
+    table: str, id_col: str = "doc_id", col: str = "text",
+    k: int = SHINGLE_K, w: int = WINNOW_W,
+) -> str:
+    """DuckDB twin of :func:`fingerprint_postings` — a CTE-able SELECT
+    producing ({id_col}, fp) rows (same winnow selection as
+    :func:`fingerprint_sql`, without the digest)."""
+    tok = tokens_sql(col)
+    sh = shingles_sql(tok, k)
+    hashes = f"list_transform({sh}, s -> md5(s))"
+    return f"""
+        SELECT {id_col}, unnest(list_distinct(
+          list_transform(generate_series(1, greatest(len(hs) - {w - 1}, 1)),
+                         j -> list_min(hs[j:j+{w - 1}])))) AS fp
+        FROM (SELECT {id_col}, {hashes} AS hs FROM {table})"""
 
 
 def fingerprint_sql(col: str = "text", k: int = SHINGLE_K, w: int = WINNOW_W) -> str:

@@ -58,6 +58,77 @@ def curate_documents(
     ).select(id_col, "pred_lang", "n_tokens", "quality_bp")
 
 
+def conversation_quality(
+    df: DataFrame,
+    threshold_bp: int = 3000,
+    min_turns: int = 2,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CONVERSATION-level quality gate — the transcript-native sibling
+    of :func:`curate_documents` (which gates flat documents): training
+    on dialogs keeps or drops WHOLE conversations, so the decision
+    statistic is the conversation rollup, not the turn. Per
+    conversation: turn count, total characters, floor-mean and min
+    per-turn ``quality_bp``, and the keep flag
+    (``mean >= threshold_bp AND n_turns >= min_turns``). All integer
+    arithmetic (floor-mean = ``sum div count``), hash-exact.
+
+    100 TB shape: one tokenize-once narrow projection per turn, ONE
+    map-side-combined groupBy(conv_id) — the same single shuffle as
+    ``conv_assemble``, producing a conversation-count-sized table.
+
+    Output: (conv_id, n_turns, total_chars, mean_quality_bp,
+    min_quality_bp, keep).
+    """
+    out = df.withColumn("_tok", tokens(text_col))
+    q = quality_columns(text_col, tok=F.col("_tok"))
+    base = out.select(
+        F.col(conv_col).alias("conv_id"),
+        F.length(text_col).cast("bigint").alias("_nch"),
+        q["quality_bp"].alias("_q"),
+    )
+    return base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_nch").alias("total_chars"),
+        F.expr("sum(_q) div count(1)").alias("mean_quality_bp"),
+        F.min("_q").alias("min_quality_bp"),
+        F.when(
+            (F.expr("sum(_q) div count(1)") >= threshold_bp)
+            & (F.count(F.lit(1)) >= min_turns),
+            1,
+        ).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+def conversation_quality_sql(
+    table: str = "transcripts",
+    threshold_bp: int = 3000,
+    min_turns: int = 2,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`conversation_quality` (CTE-able SELECT);
+    SUM/COUNT cast OUTSIDE (HUGEINT rule), integer division only."""
+    from vaero_spark.functions.text import quality_bp_sql
+
+    return f"""
+    SELECT conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(nch) AS BIGINT) AS total_chars,
+           CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_quality_bp,
+           CAST(MIN(q) AS BIGINT) AS min_quality_bp,
+           CAST(CASE WHEN SUM(q) // COUNT(*) >= {threshold_bp}
+                      AND COUNT(*) >= {min_turns}
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM (
+      SELECT {conv_col} AS conv_id,
+             CAST(length({text_col}) AS BIGINT) AS nch,
+             {quality_bp_sql(text_col)} AS q
+      FROM {table}
+    ) GROUP BY conv_id"""
+
+
 def neardup_keep(
     df: DataFrame,
     id_col: str = "doc_id",

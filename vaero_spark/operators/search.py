@@ -221,3 +221,81 @@ def build_postings_sql(
     SELECT r.token, d.df, CAST(r.rank AS INTEGER) AS rank, r._id AS {id_col}
     FROM ix_ranked r JOIN ix_df d USING (token)
     WHERE r.rank <= {k}"""
+
+
+FP_SEARCH_MIN_SHARED = 2  # fingerprints shared before a hit is reported
+FP_MAX_DF = 1000  # drop fingerprints present in more docs (boilerplate)
+
+
+def fingerprint_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = FP_SEARCH_MIN_SHARED,
+    max_fp_df: int = FP_MAX_DF,
+) -> DataFrame:
+    """Winnowing-fingerprint RETRIEVAL (the MOSS/plagiarism-detection
+    query shape, Schleimer et al. SIGMOD'03 §4): given suspect
+    documents, find every corpus document sharing >= ``min_shared``
+    selected fingerprints — the "where did this text come from /
+    who reuses it" probe a curation team runs on flagged documents.
+    ``txt_fingerprint`` compares documents by identity digest; this op
+    makes the underlying selected-hash SETS searchable.
+
+    100 TB shape: an inverted index on the winnow-selected hashes (the
+    ~2/w-sampled shingle space, far smaller than the full shingle
+    index), with a document-frequency cap dropping boilerplate
+    fingerprints (present in > ``max_fp_df`` docs — same blowup bound
+    as the shingle index's stop-shingle cap); the suspect side is
+    query-sized, so the equi-join on fp touches only the queries'
+    postings; ONE groupBy on (query, doc) counts shared fingerprints.
+    Never doc x doc.
+
+    Output: (query_id, doc_id, n_shared) for hits with
+    ``n_shared >= min_shared``, self-matches excluded.
+    """
+    from vaero_spark.functions.text import fingerprint_postings
+
+    fps = fingerprint_postings(corpus, id_col, text_col)
+    informative = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= max_fp_df
+    )
+    fps_i = fps.join(informative.select("fp"), "fp")
+    qfps = fingerprint_postings(queries, id_col, text_col).select(
+        F.col(id_col).alias("query_id"), "fp"
+    )
+    hits = (
+        qfps.join(fps_i, "fp")
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return hits
+
+
+def fingerprint_search_sql(
+    corpus_table: str,
+    query_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = FP_SEARCH_MIN_SHARED,
+    max_fp_df: int = FP_MAX_DF,
+) -> str:
+    """DuckDB twin of :func:`fingerprint_search` (CTE-able SELECT;
+    queries = corpus rows whose ``{id_col}`` satisfies
+    ``query_pred``)."""
+    from vaero_spark.functions.text import fingerprint_postings_sql
+
+    return f"""
+    fps AS ({fingerprint_postings_sql(corpus_table, id_col, text_col)}),
+    fp_informative AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_fp_df}),
+    fps_i AS (SELECT f.* FROM fps f JOIN fp_informative USING (fp)),
+    qfps AS (SELECT {id_col} AS query_id, fp FROM fps WHERE {query_pred})
+    SELECT q.query_id, c.{id_col}, CAST(count(*) AS BIGINT) AS n_shared
+    FROM qfps q JOIN fps_i c USING (fp)
+    WHERE q.query_id != c.{id_col}
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}"""

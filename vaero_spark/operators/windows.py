@@ -208,3 +208,49 @@ def windowed_distinct_users_sql(
            COUNT(DISTINCT {user_col}) AS n_users
     FROM {table}
     GROUP BY 1"""
+
+
+def stream_windowed_distinct(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """STREAMING exact windowed distinct-user counts — the live twin of
+    :func:`windowed_distinct_users`, built as CHAINED STATEFUL
+    operators (Spark 3.5+/4.x): watermark → dropDuplicates on
+    (window, user) → windowed count, append mode. The dedup stage
+    holds one state row per distinct (window, user) and the count
+    stage one per window; BOTH evict as the watermark passes a
+    window's end, so state is bounded by the watermark horizon times
+    the distinct rate — the 10^12-event shape (an update-mode custom
+    state fn would hold the same keys but re-emit per batch; the
+    native chain emits each window exactly once, finalized).
+
+    Append-mode semantics callers must know: a window emits only when
+    the watermark passes its end, and events later than ``watermark``
+    relative to the max seen timestamp are DROPPED (correct streaming
+    semantics, not a bug). To drain a bounded replay exactly — every
+    window emitted, nothing dropped — feed the backlog as one batch
+    (no ``maxFilesPerTrigger`` cap: the watermark only advances
+    between batches) and then append a single SENTINEL event past
+    ``max_ts + watermark + 2·duration`` to flush every real window
+    (the gate query does exactly this; the sentinel's own window
+    stays held in state, unemitted).
+
+    Output: (win_start, n_users) — each window exactly once.
+    """
+    dedup = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.window(ts_col, duration).alias("win"),
+            F.col(user_col).alias("_u"),
+        )
+        .dropDuplicates(["win", "_u"])
+    )
+    return (
+        dedup.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("win.start").alias("win_start"), "n_users")
+    )
