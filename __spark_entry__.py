@@ -33,6 +33,7 @@ from vaero_spark.operators import similarity as SIM
 from vaero_spark.operators import transforms as TR
 from vaero_spark.operators.joins import asof_join_last_user, user_tool_join
 from vaero_spark.operators.skew import salted_agg
+from vaero_spark.operators import windows as WINDOWS
 from vaero_spark.operators.windows import session_windows, windowed_counts
 from vaero_spark.sources import corpus as CORPUS
 from vaero_spark.sources.transcripts import (
@@ -844,6 +845,141 @@ def q_conv_quality(spark, sf_dir):
     from vaero_spark.operators.curate import conversation_quality
 
     return conversation_quality(load_transcripts(spark, sf_dir))
+
+
+def q_rollup_multires(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (operators/windows.
+    multires_rollup): minute → hour → day traffic ladder where each
+    coarser level re-aggregates the previous level's output — ONE
+    corpus-sized shuffle total; the coarse branches plan as
+    ReusedExchange of the minutely aggregate (audited)."""
+    from vaero_spark.operators.windows import multires_rollup
+
+    return multires_rollup(load_transcripts(spark, sf_dir))
+
+
+def q_j_interval(spark, sf_dir):
+    """Binned interval join (operators/joins.interval_join_binned):
+    turns × UNKEYED incident windows (30 min after every 25th error
+    event) as an equi-join on time bucket — the range-join rewrite that
+    replaces BroadcastNestedLoopJoin/cartesian at scale; exact
+    containment re-checked post-join, oracle = DuckDB IEJoin."""
+    from vaero_spark.operators.joins import interval_join_binned
+
+    ev_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    intervals = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("event_id") % 25 == 0))
+        .select(
+            F.col("event_id").alias("interval_id"),
+            ev_ms.alias("start_ms"),
+            (ev_ms + 1_800_000).alias("end_ms"),
+        )
+    )
+    return interval_join_binned(load_transcripts(spark, sf_dir), intervals, bucket_s=1800)
+
+
+_J_INTERVAL_SQL = f"""{_T},
+            iv AS (SELECT event_id AS interval_id,
+                          epoch_ms(CAST(ts AS TIMESTAMP)) AS start_ms,
+                          epoch_ms(CAST(ts AS TIMESTAMP)) + 1800000 AS end_ms
+                   FROM events
+                   WHERE event_type = 'error' AND event_id % 25 = 0)
+            SELECT iv.interval_id, t.conv_id, t.turn_idx,
+                   epoch_ms(CAST(t.ts AS TIMESTAMP)) AS ts_ms
+            FROM transcripts t JOIN iv
+              ON epoch_ms(CAST(t.ts AS TIMESTAMP)) >= iv.start_ms
+             AND epoch_ms(CAST(t.ts AS TIMESTAMP)) < iv.end_ms"""
+
+
+def q_stream_interval(spark, sf_dir):
+    """Streaming interval enrichment: the binned range join as a
+    STREAM-STATIC equi-join on the time bucket — STATELESS (the static
+    side is a table, no watermark state, append mode), so the drained
+    stream equals the batch `j_interval` bit-for-bit (same oracle).
+    100 TB shape: each micro-batch hash-joins its turns against the
+    pre-exploded interval table on the bucket id — broadcast when the
+    table is small, shuffle when not (AQE per micro-batch)."""
+    import tempfile
+
+    from vaero_spark.operators.joins import interval_join_binned
+    from vaero_spark.sinks.writers import ExactlyOnceParquetSink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_sintv_")
+    inp = _gate_stream_input(spark, sf_dir, "plain")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    ev_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    intervals = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("event_id") % 25 == 0))
+        .select(
+            F.col("event_id").alias("interval_id"),
+            ev_ms.alias("start_ms"),
+            (ev_ms + 1_800_000).alias("end_ms"),
+        )
+    )
+    joined = interval_join_binned(src, intervals, bucket_s=1800)
+    sink = ExactlyOnceParquetSink(
+        f"{work}/out",
+        ts_col="_no_prefix",
+        order_cols=("interval_id", "conv_id", "turn_idx"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sink.read_committed(spark).select(
+        "interval_id", "conv_id", "turn_idx", "ts_ms"
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot changeset (operators/dedup.snapshot_diff): added /
+    removed / changed docs between two corpus snapshots via ONE
+    full-outer equi-join on doc_id moving only 16-byte md5s; the new
+    snapshot is derived deterministically from documents (drop %7,
+    revise %5, add %11 under a shifted id) so both engines rebuild it."""
+    docs = CORPUS.load_documents(spark, sf_dir)
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                F.concat(F.lit("added doc "), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return DD.snapshot_diff(old, new)
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic stratified train/val/test split (operators/
+    transforms.stratified_split): salted-md5 first-byte thresholds
+    (≈80/10/10), stable under re-partitioning and corpus growth;
+    pure narrow projection, shuffle-free (audited)."""
+    return TR.stratified_split(CORPUS.load_documents(spark, sf_dir)).select(
+        "doc_id", "lang", "split"
+    )
 
 
 def q_dedup_exact_docs(spark, sf_dir):
@@ -1678,12 +1814,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round executes VERDICT r5 #2 verbatim: the 39 queries whose last
     driver-green row is r3/r4 LEAD the window, the new round-6 ops sit
     in-window for their first correctness row, and the remaining slots
-    hold family representatives of the round-5 cohort. The rotated-out
-    r5 queries carry one round of driver history (not the usual 2 —
-    the r5 cohort was 28 new ops and the window only holds 50); every
-    one keeps an in-window family sibling AND stays in the full local
-    replay (``tools/check_oracle.py`` runs everything), so after
-    CORRECTNESS_r06 every query's newest green row is <= 1 round old."""
+    hold the newest round-6 ops. The rotated-out r5 queries carry one
+    round of driver history (not the usual 2 — the r5 cohort was 28 new
+    ops and the window only holds 50); every one keeps an in-window
+    family sibling AND stays in the full local replay
+    (``tools/check_oracle.py`` runs everything), so after
+    CORRECTNESS_r06 every query's newest green row is <= 1 round old
+    (``corpus_split``, born at position 51, gets its first row in r7)."""
     return {
         # -- rotated IN (VERDICT r5 #2: last driver-green row r3/r4) --
         "t_add": q_t_add,
@@ -1734,12 +1871,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_fertility": q_tok_fertility,
         "conv_quality": q_conv_quality,
         "stream_w_distinct": q_stream_w_distinct,
-        # -- family representatives of the round-5 cohort (fill; CEP's
-        #    in-window rep is stream_cep_kleene) ----------------------
+        "rollup_multires": q_rollup_multires,
+        "j_interval": q_j_interval,
+        "snapshot_diff": q_snapshot_diff,
+        # ==== position 51+: rotated OUT this round (r5 driver-green;
+        # the three r5 family-rep fillers route_branch/s3_ingest/
+        # conv_funnel yielded their slots to the newest ops — they stay
+        # exactly 1 round old after r6, like every other r5-green query;
+        # corpus_split leads here so it heads the r7 window ============
+        "corpus_split": q_corpus_split,
+        "stream_interval": q_stream_interval,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
-        # ==== position 51+: rotated OUT this round (r5 driver-green;
+        # ---- (r5 driver-green;
         # family siblings in-window: stream_join→stream_dedup_wm/
         # stream_lexicon, dedup_keep+dedup_ngram_jaccard+dedup_passage+
         # corpus_novelty→dedup_clusters/dedup_minhash/dedup_incremental,
@@ -2337,4 +2482,25 @@ def oracle_sql() -> dict[str, str]:
             FROM media LEFT JOIN LATERAL (
                  SELECT unnest(generate_series(1, length(text))) AS i) t ON TRUE
             GROUP BY doc_id, length(text)""",
+        # hypertable rollup ladder: each level re-aggregates the previous
+        "rollup_multires": f"""{_T},
+            {WINDOWS.multires_rollup_sql('transcripts')}""",
+        # binned interval join's oracle is the plain inequality join
+        # (DuckDB plans IEJoin natively); the binning is Spark-side only
+        "j_interval": _J_INTERVAL_SQL,
+        # the streaming form is stateless (stream-static), so drained == batch
+        "stream_interval": _J_INTERVAL_SQL,
+        "snapshot_diff": f"""WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id,
+                     'added doc ' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents WHERE doc_id % 11 = 0)
+            {DD.snapshot_diff_sql('documents', 'newsnap')}""",
+        "corpus_split": f"""
+            SELECT doc_id, lang, {TR.stratified_split_sql()} AS split
+            FROM documents""",
     }

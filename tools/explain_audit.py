@@ -208,6 +208,27 @@ CHECKS = {
         ["Window", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # multi-resolution rollup: a 3-branch union of aggregates, no join;
+    # runtime exchange REUSE (hour reads minutely's shuffle, day reads
+    # hour's — one corpus scan total) is an AQE final-plan property,
+    # pinned in tests/test_scale_ops_r6b.py::test_rollup_reuses_exchanges
+    "rollup_multires": (
+        ["Union", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window whole"],
+    ),
+    # binned interval join: the range join MUST plan as an EQUI-join on
+    # the time bucket (hash/sort-merge) — a BroadcastNestedLoopJoin here
+    # means the binning rewrite regressed to the planner's naive range
+    # join, which dies once intervals outgrow the driver
+    "j_interval": ([], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # snapshot changeset: ONE full-outer equi-join on the id, md5s only
+    # on the wire; no forced broadcast (both snapshots corpus-sized)
+    "snapshot_diff": (
+        ["FullOuter"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # train/val/test split: a pure per-row projection — shuffle-free
+    "corpus_split": (["Project"], ["Exchange", "CartesianProduct"]),
 }
 
 

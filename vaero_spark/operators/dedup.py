@@ -736,3 +736,52 @@ def shingle_novelty_sql(
                 / COUNT(*)) AS BIGINT) AS novelty_bp
     FROM nv_sh JOIN nv_first USING (_sh)
     GROUP BY {id_col}"""
+
+
+def snapshot_diff(
+    old_df: "DataFrame",
+    new_df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """SNAPSHOT CHANGESET: classify every document as added / removed /
+    changed between two corpus snapshots — the diff a recurring crawl
+    pipeline publishes alongside each snapshot (what must re-embed,
+    re-dedup, re-index downstream). ``dedup_against`` answers "which new
+    docs are novel by content"; this keys by IDENTITY and reports the
+    full churn, unchanged rows excluded so the output is churn-sized,
+    not corpus-sized.
+
+    100 TB shape: both sides project to (id, md5) narrow — 16-byte
+    hashes cross the wire, never text — then ONE full-outer equi-join on
+    the id. NO broadcast hint (both sides are corpus-sized; AQE decides).
+
+    Output: (id_col, status) with status ∈ {added, removed, changed}.
+    """
+    o = old_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_old_md5"))
+    n = new_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_new_md5"))
+    status = (
+        F.when(F.col("_old_md5").isNull(), "added")
+        .when(F.col("_new_md5").isNull(), "removed")
+        .when(F.col("_old_md5") != F.col("_new_md5"), "changed")
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(F.col(id_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
+
+
+def snapshot_diff_sql(
+    old_cte: str, new_cte: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff` over two CTE/table names."""
+    return f"""
+    SELECT COALESCE(o.{id_col}, n.{id_col}) AS {id_col},
+           CASE WHEN o.{id_col} IS NULL THEN 'added'
+                WHEN n.{id_col} IS NULL THEN 'removed'
+                WHEN md5(o.{text_col}) <> md5(n.{text_col}) THEN 'changed'
+           END AS status
+    FROM {old_cte} o FULL OUTER JOIN {new_cte} n ON o.{id_col} = n.{id_col}
+    WHERE o.{id_col} IS NULL OR n.{id_col} IS NULL
+       OR md5(o.{text_col}) <> md5(n.{text_col})"""

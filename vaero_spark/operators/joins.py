@@ -115,3 +115,59 @@ def asof_join_last_user(df: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def interval_join_binned(
+    points: DataFrame, intervals: DataFrame, bucket_s: int = 1800
+) -> DataFrame:
+    """RANGE JOIN points × UNKEYED intervals without a cartesian: the
+    "which turns fall inside which incident/deploy/outage windows"
+    enrichment. ``user_tool_join`` range-joins WITHIN a conversation
+    (conv_id is the equi-key); here the intervals share no key with the
+    points, and Spark's planner can only offer BroadcastNestedLoopJoin
+    (dies when intervals outgrow the driver) or a cartesian.
+
+    The scalable rewrite is time BINNING: every interval explodes to the
+    ``bucket_s``-second buckets it covers (bounded fan-out: an interval
+    of length L covers ≤ L/bucket_s + 1 buckets), every point maps to
+    exactly ONE bucket, and the join becomes a plain equi-join on the
+    bucket id — shuffle-partitionable on both sides at any scale. A
+    point matches an interval through exactly one bucket (its own), so
+    no post-join dedup is needed. Exact containment (``start_ms ≤ ts <
+    end_ms``) is re-checked after the equi-join; empty intervals are
+    dropped up front (a descending ``sequence`` would fabricate buckets).
+
+    ``intervals``: (interval_id, start_ms, end_ms) with epoch-ms BIGINT
+    bounds; pick ``bucket_s`` ≈ the typical interval length so fan-out
+    stays ~2. Output: (interval_id, conv_id, turn_idx, ts_ms) — integer
+    arithmetic end to end (the repo parity rule).
+
+    Oracle twin: a plain inequality join (DuckDB plans IEJoin natively).
+    """
+    step = bucket_s * 1000
+    # integer DIV, never `/`: float division can round across a bucket
+    # boundary and desynchronize the point's bucket from the interval's
+    p = points.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    ).withColumn("bucket", F.expr(f"ts_ms DIV {step}"))
+    iv = (
+        intervals.filter(F.col("end_ms") > F.col("start_ms"))
+        .select(
+            "interval_id",
+            "start_ms",
+            "end_ms",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_ms DIV {step}"),
+                    F.expr(f"(end_ms - 1) DIV {step}"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    return (
+        p.join(iv, "bucket")
+        .filter((F.col("ts_ms") >= F.col("start_ms")) & (F.col("ts_ms") < F.col("end_ms")))
+        .select("interval_id", "conv_id", "turn_idx", "ts_ms")
+    )

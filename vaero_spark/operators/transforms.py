@@ -335,3 +335,57 @@ def group_topk_sql(
                                 ORDER BY {order_col} DESC, {id_col}) AS rank
       FROM {table_expr})
     WHERE rank <= {k}"""
+
+
+def stratified_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    train_256ths: int = 204,
+    val_256ths: int = 26,
+    salt: str = "split:v1:",
+) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST corpus split — the assignment every
+    training run needs pinned before anything else touches the data:
+    stable under re-runs, re-partitioning, cluster resizes, and corpus
+    growth (a doc keeps its split forever; new docs land in expected
+    proportions within every stratum simultaneously, because the hash is
+    independent of any stratum column — no per-stratum bookkeeping).
+
+    Same engine-neutral trick as :func:`sample_stratified`: the FIRST
+    byte of ``md5(salt || key)`` as two lowercase hex chars compares
+    lexicographically in numeric order, so the three-way split is two
+    plain string comparisons, byte-identical in Spark and the SQL
+    oracle. The ``salt`` decorrelates the split hash from every other
+    md5-of-key decision in the pipeline (sampling, sharding) — without
+    it, "test set" would alias "sample survivors".
+
+    100 TB shape: a pure per-row projection — shuffle-free (audited).
+
+    Adds a ``split`` column ∈ {train, val, test}; thresholds in 256ths
+    (defaults ≈ 80/10/10).
+    """
+    if not (0 <= train_256ths and 0 <= val_256ths and train_256ths + val_256ths <= 256):
+        raise ValueError("train/val 256ths must be non-negative and sum <= 256")
+    byte_hex = F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 2)
+    t, v = f"{train_256ths:02x}", f"{train_256ths + val_256ths:02x}"
+    split = (
+        F.when(byte_hex < t, "train").when(byte_hex < v, "val").otherwise("test")
+        if train_256ths + val_256ths < 256
+        else F.when(byte_hex < t, "train").otherwise("val")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_split_sql(
+    key: str = "doc_id",
+    train_256ths: int = 204,
+    val_256ths: int = 26,
+    salt: str = "split:v1:",
+) -> str:
+    """DuckDB twin of :func:`stratified_split` (the split expression)."""
+    t, v = f"{train_256ths:02x}", f"{train_256ths + val_256ths:02x}"
+    hx = f"substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {hx} < '{t}' THEN 'train' "
+        f"WHEN {hx} < '{v}' THEN 'val' ELSE 'test' END"
+    )

@@ -254,3 +254,80 @@ def stream_windowed_distinct(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(F.col("win.start").alias("win_start"), "n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution rollup (hypertable-style continuous aggregate ladder)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_METRICS = ["n_turns", "n_chars", "n_user"]
+
+
+def multires_rollup(
+    df: DataFrame, ts_col: str = "ts", levels: tuple[str, ...] = ("minute", "hour", "day")
+) -> DataFrame:
+    """Hypertable-style MULTI-RESOLUTION rollup: the traffic table at
+    minute, hour, and day granularity from ONE corpus scan — each coarser
+    level re-aggregates the previous level's (tiny) output, never the
+    raw data. This is the continuous-aggregate ladder every time-series
+    store (TimescaleDB caggs, Druid rollup) maintains; the reference's
+    strftime prefix partitioning (``/root/reference/execute/
+    sinkNode.go:105-131``) is its write-side shadow.
+
+    All metrics are decomposable sums/counts, so level N+1 is an exact
+    re-aggregation of level N (the reason approx/distinct metrics don't
+    belong here — ``windowed_distinct_users`` handles those per level).
+
+    100 TB shape: the ONLY corpus-sized shuffle is the minutely groupBy;
+    the hour and day aggregates group ~43k e.g. minute rows per month.
+    Because the coarse branches re-aggregate the SAME fine DataFrame,
+    Spark plans the scan + minutely exchange ONCE and wires the other
+    branches to a ReusedExchange (audited in tools/explain_audit.py) —
+    the union costs one scan, not three.
+
+    Output: (resolution, bucket_ts, n_turns, n_chars, n_user).
+    """
+    fine = df.groupBy(F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).cast("long").alias("n_user"),
+    )
+    out = fine.select(F.lit(levels[0]).alias("resolution"), "*")
+    prev = fine
+    for lvl in levels[1:]:
+        prev = prev.groupBy(F.date_trunc(lvl, F.col("bucket_ts")).alias("bucket_ts")).agg(
+            *[F.sum(c).cast("long").alias(c) for c in _ROLLUP_METRICS]
+        )
+        out = out.unionByName(prev.select(F.lit(lvl).alias("resolution"), "*"))
+    return out
+
+
+def multires_rollup_sql(
+    table_expr: str, ts_col: str = "ts", levels: tuple[str, ...] = ("minute", "hour", "day")
+) -> str:
+    """DuckDB twin of :func:`multires_rollup` (caller supplies ``WITH``):
+    the same re-aggregation ladder, each level reading the previous CTE.
+    SUM casts OUTSIDE the aggregate (the HUGEINT rule)."""
+    ctes = [
+        f"""mr_{levels[0]} AS (
+      SELECT date_trunc('{levels[0]}', {ts_col}) AS bucket_ts,
+             COUNT(*) AS n_turns,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user
+      FROM {table_expr} GROUP BY 1)"""
+    ]
+    for prev, lvl in zip(levels, levels[1:]):
+        sums = ",\n             ".join(
+            f"CAST(SUM({m}) AS BIGINT) AS {m}" for m in _ROLLUP_METRICS
+        )
+        ctes.append(
+            f"""mr_{lvl} AS (
+      SELECT date_trunc('{lvl}', bucket_ts) AS bucket_ts,
+             {sums}
+      FROM mr_{prev} GROUP BY 1)"""
+        )
+    selects = [
+        f"SELECT '{lvl}' AS resolution, bucket_ts, n_turns, n_chars, n_user FROM mr_{lvl}"
+        for lvl in levels
+    ]
+    return ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
