@@ -241,6 +241,12 @@ def _gate_stream_input(spark, sf_dir, variant: str) -> str:
       watermark only jumps past every session's end after all real rows
       are in (the previous union+repartition landed the sentinel in a
       hash-arbitrary file — it worked, but by accident of hashing).
+    - ``cdc``     — change events derived from documents (initial
+      upsert per doc, a revision for %5, a tombstone for %7, an exact
+      duplicate of %13's initial event for at-least-once replay), hash-
+      partitioned on ``seq % 6`` so revisions/deletes can land in
+      EARLIER micro-batches than the rows they supersede — the
+      out-of-order delivery ``stream_upsert`` must absorb.
     """
     import datetime
     import os
@@ -289,6 +295,27 @@ def _gate_stream_input(spark, sf_dir, variant: str) -> str:
 
         _time.sleep(1.1)  # distinct mtime second for the file source's ordering
         sentinel.coalesce(1).write.mode("append").parquet(inp)
+    elif variant == "cdc":
+        docs = CORPUS.load_documents(spark, sf_dir)
+        seq0 = F.col("doc_id") * 3
+        base = docs.select(
+            "doc_id", seq0.alias("seq"), F.lit("upsert").alias("op"), "text"
+        )
+        rev = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            (seq0 + 1).alias("seq"),
+            F.lit("upsert").alias("op"),
+            F.concat("text", F.lit(" [rev2]")).alias("text"),
+        )
+        dele = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            (seq0 + 2).alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("string").alias("text"),
+        )
+        dup = base.filter(F.col("doc_id") % 13 == 0)  # at-least-once replay
+        ev = base.unionByName(rev).unionByName(dele).unionByName(dup)
+        ev.repartition(6, F.expr("seq % 6")).write.mode("overwrite").parquet(inp)
     else:
         raise ValueError(variant)
     with open(done, "w") as fh:
@@ -942,15 +969,11 @@ def q_stream_interval(spark, sf_dir):
     )
 
 
-def q_snapshot_diff(spark, sf_dir):
-    """Snapshot changeset (operators/dedup.snapshot_diff): added /
-    removed / changed docs between two corpus snapshots via ONE
-    full-outer equi-join on doc_id moving only 16-byte md5s; the new
-    snapshot is derived deterministically from documents (drop %7,
-    revise %5, add %11 under a shifted id) so both engines rebuild it."""
-    docs = CORPUS.load_documents(spark, sf_dir)
-    old = docs.select("doc_id", "text")
-    new = (
+def _derived_snapshot(docs):
+    """The deterministic NEXT corpus snapshot both engines rebuild from
+    documents: drop %7, revise %5, add %11 under a shifted id (the
+    ``newsnap`` CTE is its SQL twin)."""
+    return (
         docs.filter(F.col("doc_id") % 7 != 0)
         .select(
             "doc_id",
@@ -969,7 +992,71 @@ def q_snapshot_diff(spark, sf_dir):
             )
         )
     )
-    return DD.snapshot_diff(old, new)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot changeset (operators/dedup.snapshot_diff): added /
+    removed / changed docs between two corpus snapshots via ONE
+    full-outer equi-join on doc_id moving only 16-byte md5s; the new
+    snapshot is derived deterministically from documents (drop %7,
+    revise %5, add %11 under a shifted id) so both engines rebuild it."""
+    docs = CORPUS.load_documents(spark, sf_dir)
+    return DD.snapshot_diff(docs.select("doc_id", "text"), _derived_snapshot(docs))
+
+
+def q_changeset_apply(spark, sf_dir):
+    """Changeset APPLY (operators/dedup.apply_changeset): fold the
+    snapshot_diff changeset (+ the new texts for added/changed) back
+    into the base snapshot — the applied result must equal the derived
+    new snapshot's own manifest, so the oracle is simply
+    ``SELECT doc_id, md5(text) FROM newsnap``: the round-trip identity
+    ``apply(old, diff(old, new)) == new`` IS the correctness check."""
+    docs = CORPUS.load_documents(spark, sf_dir)
+    old = docs.select("doc_id", "text")
+    new = _derived_snapshot(docs)
+    changes = DD.snapshot_diff(old, new).join(
+        new.withColumnRenamed("text", "_newtext"), "doc_id", "left"
+    ).select("doc_id", "status", F.col("_newtext").alias("text"))
+    return DD.apply_changeset(old, changes)
+
+
+def q_stream_upsert(spark, sf_dir):
+    """CDC upsert materialization (operators/state.stream_upsert):
+    last-writer-wins per-entity view over an out-of-order, duplicate-
+    bearing change stream (the `cdc` fixture hash-partitions events on
+    seq%6 so supersession arrives across micro-batch boundaries in both
+    directions); state = one scalar tuple per entity (the view itself),
+    drained last emission per id == the batch argmax(seq) exactly."""
+    import tempfile
+
+    from vaero_spark.operators.state import stream_upsert
+    from vaero_spark.sinks.writers import MemorySink
+
+    work = tempfile.mkdtemp(prefix="vaero_q_supsert_")
+    inp = _gate_stream_input(spark, sf_dir, "cdc")
+    src = (
+        spark.readStream.schema("doc_id bigint, seq bigint, op string, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        stream_upsert(src)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: the last emission per entity wins
+    for epoch_id, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.doc_id] = (r.doc_id, r.cur_seq, r.deleted, r.text_md5)
+    return spark.createDataFrame(
+        list(final.values()),
+        "doc_id long, cur_seq long, deleted int, text_md5 string",
+    )
 
 
 def q_corpus_split(spark, sf_dir):
@@ -1881,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_split leads here so it heads the r7 window ============
         "corpus_split": q_corpus_split,
         "stream_interval": q_stream_interval,
+        "changeset_apply": q_changeset_apply,
+        "stream_upsert": q_stream_upsert,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2503,4 +2592,37 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": f"""
             SELECT doc_id, lang, {TR.stratified_split_sql()} AS split
             FROM documents""",
+        # the round-trip identity: apply(old, diff(old,new)) == new,
+        # so the oracle is the new snapshot's own manifest
+        "changeset_apply": """WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id,
+                     'added doc ' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents WHERE doc_id % 11 = 0)
+            SELECT doc_id, md5(text) AS text_md5 FROM newsnap""",
+        # last-writer-wins == batch argmax(seq); duplicates change nothing
+        "stream_upsert": """WITH ev AS (
+              SELECT doc_id, doc_id * 3 AS seq, 'upsert' AS op, text
+              FROM documents
+              UNION ALL
+              SELECT doc_id, doc_id * 3 + 1, 'upsert', text || ' [rev2]'
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, doc_id * 3 + 2, 'delete', NULL
+              FROM documents WHERE doc_id % 7 = 0),
+            w AS (
+              SELECT doc_id, seq, op, text,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY seq DESC) AS rn
+              FROM ev)
+            SELECT doc_id, seq AS cur_seq,
+                   CAST(CASE WHEN op = 'delete' THEN 1 ELSE 0 END AS INTEGER)
+                     AS deleted,
+                   CASE WHEN op = 'delete' THEN ''
+                        ELSE md5(text) END AS text_md5
+            FROM w WHERE rn = 1""",
     }

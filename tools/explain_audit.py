@@ -229,6 +229,12 @@ CHECKS = {
     ),
     # train/val/test split: a pure per-row projection — shuffle-free
     "corpus_split": (["Project"], ["Exchange", "CartesianProduct"]),
+    # changeset apply: equi-joins only (the diff's full-outer + the
+    # left-anti drop), 16-byte md5s on the wire, never a cross product
+    "changeset_apply": (
+        ["LeftAnti"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 

@@ -785,3 +785,36 @@ def snapshot_diff_sql(
     FROM {old_cte} o FULL OUTER JOIN {new_cte} n ON o.{id_col} = n.{id_col}
     WHERE o.{id_col} IS NULL OR n.{id_col} IS NULL
        OR md5(o.{text_col}) <> md5(n.{text_col})"""
+
+
+def apply_changeset(
+    base_df: "DataFrame",
+    changes_df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    status_col: str = "status",
+) -> "DataFrame":
+    """SNAPSHOT MAINTENANCE: apply a :func:`snapshot_diff`-style changeset
+    to the base snapshot and emit the NEXT snapshot's manifest — the
+    CONSUMER side of the diff a recurring crawl publishes (a downstream
+    mirror applies churn instead of re-copying the corpus; the Iceberg
+    MERGE INTO shape, expressed engine-neutrally).
+
+    ``changes_df`` carries (id, status, new text): status ∈ {added,
+    removed, changed}; ``text`` holds the new content for added/changed
+    rows and is ignored (may be null) for removed. The defining identity
+    — ``apply_changeset(old, snapshot_diff(old, new) ⋈ new texts) ==
+    new`` — IS the gate's oracle: the applied result must equal the new
+    snapshot's own manifest byte-for-byte.
+
+    100 TB shape: base drops every churned id via ONE left-anti
+    equi-join on the id (NO broadcast hint — a recrawl's churn can be
+    corpus-sized, AQE decides); added/changed rows union in narrow.
+    Output (id, text_md5): 16-byte hashes cross the wire, never text.
+    """
+    manifest = lambda df: df.select(  # noqa: E731
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+    )
+    kept = base_df.join(changes_df.select(id_col), id_col, "left_anti")
+    upserts = changes_df.filter(F.col(status_col).isin("added", "changed"))
+    return manifest(kept).unionByName(manifest(upserts))

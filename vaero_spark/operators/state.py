@@ -449,3 +449,74 @@ def byte_cap_flush(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert materialization (last-writer-wins entity view)
+# ---------------------------------------------------------------------------
+
+UPSERT_OUTPUT_DDL = "doc_id bigint, cur_seq bigint, deleted int, text_md5 string"
+UPSERT_STATE_DDL = "best_seq bigint, deleted int, text_md5 string"
+
+
+def stream_upsert(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDC UPSERT MATERIALIZATION: fold a stream of change events
+    (id, seq, op ∈ {upsert, delete}, text) into the current entity view
+    with LAST-WRITER-WINS semantics on the sequence number — the
+    Flink-style changelog→table step a recurring crawl's consumers run
+    (:func:`vaero_spark.operators.dedup.apply_changeset` is the batch
+    sibling over a published diff; this materializes the LIVE feed).
+
+    Out-of-order and duplicate safe BY CONSTRUCTION: the winner is
+    ``argmax(seq)``, which no delivery order or at-least-once replay can
+    change, so the drained result equals the batch argmax — an exact SQL
+    oracle for a stateful streaming op. Tombstones stay in the view
+    (``deleted`` = 1, ``text_md5`` = '') so downstream mirrors can
+    propagate removals.
+
+    100 TB shape: state is ONE scalar tuple (seq, flag, 32-char md5) per
+    ENTITY — the materialized view itself, bounded by the entity count,
+    never the event count (RocksDB state store in production). The md5
+    is computed JVM-side BEFORE the stateful stage, so Arrow ships only
+    (long, long, int, hash) per event and Python compares integers.
+    Update mode: every change re-emits the entity's current row, so
+    last-emission-wins gives consumers the view without a terminal scan.
+    """
+    from pyspark.sql import functions as F
+
+    pre = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        (F.col(op_col) == F.lit("delete")).cast("int").alias("_del"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("")).alias("_md5"),
+    )
+
+    def fn(key, pdfs, state):
+        best, deleted, md5h = state.get if state.exists else (-1, 0, "")
+        for pdf in pdfs:
+            for s, d, m in zip(pdf["_seq"], pdf["_del"], pdf["_md5"]):
+                if int(s) > best:
+                    best, deleted = int(s), int(d)
+                    md5h = "" if deleted else str(m)
+        state.update((best, deleted, md5h))
+        out = pd.DataFrame(
+            [(key[0], best, deleted, md5h)],
+            columns=["doc_id", "cur_seq", "deleted", "text_md5"],
+        )
+        yield out.astype(
+            {"doc_id": "int64", "cur_seq": "int64", "deleted": "int32"}
+        )
+
+    return pre.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=UPSERT_OUTPUT_DDL,
+        stateStructType=UPSERT_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
