@@ -1059,6 +1059,27 @@ def q_stream_upsert(spark, sf_dir):
     )
 
 
+def q_trending_tokens(spark, sf_dir):
+    """Windowed heavy hitters (operators/analytics.trending_tokens):
+    exact top-5 tokens per hour, count DESC / token ASC tiebreak; one
+    map-side-combined groupBy(window, token) + the salted two-phase
+    group_topk — the audit rejects a Window in the plan."""
+    from vaero_spark.operators.analytics import trending_tokens
+
+    return trending_tokens(load_transcripts(spark, sf_dir))
+
+
+def q_skew_profile(spark, sf_dir):
+    """Pre-join hot-key audit (operators/analytics.key_skew_profile):
+    top-10 conv_id keys with share in basis points + key-space totals —
+    the report that decides whether a key needs salting before a
+    100 TB join; ONE groupBy(key), salted global top-k, 1-row broadcast
+    totals, guarded BIGINT math."""
+    from vaero_spark.operators.analytics import key_skew_profile
+
+    return key_skew_profile(load_transcripts(spark, sf_dir), "conv_id")
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic stratified train/val/test split (operators/
     transforms.stratified_split): salted-md5 first-byte thresholds
@@ -1970,6 +1991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval": q_stream_interval,
         "changeset_apply": q_changeset_apply,
         "stream_upsert": q_stream_upsert,
+        "trending_tokens": q_trending_tokens,
+        "skew_profile": q_skew_profile,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2141,6 +2164,11 @@ _DEDUP_KEEP_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
 from vaero_spark.operators.assemble import pack_sequences_sql as _pack_sql
 from vaero_spark.operators.assemble import chunk_tokens_sql as _chunk_sql
 from vaero_spark.operators.analytics import response_latency_sql as _latency_sql
+from vaero_spark.operators.analytics import trending_tokens_sql as _trending_sql
+from vaero_spark.operators.analytics import key_skew_profile_sql as _skew_sql
+
+AN_TRENDING_SQL = _trending_sql("transcripts")
+AN_SKEW_SQL = _skew_sql("transcripts", "conv_id")
 from vaero_spark.operators.search import build_postings_sql as _postings_sql
 from vaero_spark.operators.search import fingerprint_search_sql as _fpsearch_sql
 from vaero_spark.operators.curate import conversation_quality_sql as _convq_sql
@@ -2625,4 +2653,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN op = 'delete' THEN ''
                         ELSE md5(text) END AS text_md5
             FROM w WHERE rn = 1""",
+        "trending_tokens": f"""{_T},
+            {AN_TRENDING_SQL}""",
+        "skew_profile": f"""{_T},
+            {AN_SKEW_SQL}""",
     }

@@ -1,0 +1,58 @@
+"""Exact small-case pins for trending_tokens (windowed heavy hitters)
+and key_skew_profile (the pre-join hot-key audit)."""
+
+from __future__ import annotations
+
+import datetime
+
+from vaero_spark.operators.analytics import key_skew_profile, trending_tokens
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, ts timestamp"
+
+
+def _ts(hour, minute=0):
+    return datetime.datetime(2024, 3, 1, hour, minute)
+
+
+def test_trending_tokens_per_hour_with_tiebreak(spark):
+    rows = [
+        ("c1", 0, "user", "alpha beta alpha", _ts(9, 5)),
+        ("c1", 1, "assistant", "beta gamma", _ts(9, 40)),
+        ("c2", 0, "user", "delta", _ts(9, 59)),
+        ("c2", 1, "assistant", "epsilon epsilon epsilon", _ts(10, 1)),
+        ("c2", 2, "user", "zeta", _ts(10, 2)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        (r.win_start.hour, r.rank): (r.token, r.n)
+        for r in trending_tokens(df, k=3).collect()
+    }
+    # hour 9: alpha=2, beta=2 (tie -> token ASC), gamma=1/delta=1 (tie)
+    assert out[(9, 1)] == ("alpha", 2)
+    assert out[(9, 2)] == ("beta", 2)
+    assert out[(9, 3)] == ("delta", 1)
+    # hour 10: epsilon=3 then zeta=1; only 2 distinct tokens exist
+    assert out[(10, 1)] == ("epsilon", 3)
+    assert out[(10, 2)] == ("zeta", 1)
+    assert (10, 3) not in out
+
+
+def test_key_skew_profile_shares_and_totals(spark):
+    rows = (
+        [("hot", i, "user", "x", _ts(9)) for i in range(6)]
+        + [("warm", i, "user", "x", _ts(9)) for i in range(3)]
+        + [("a_cold", 0, "user", "x", _ts(9)), ("b_cold", 0, "user", "x", _ts(9))]
+    )
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = [
+        (r.rank, r.key, r.n, r.share_bp, r.n_keys, r.n_total)
+        for r in key_skew_profile(df, "conv_id", k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    # 11 rows over 4 keys; ties at n=1 break key ASC
+    assert got == [
+        (1, "hot", 6, 10000 * 6 // 11, 4, 11),
+        (2, "warm", 3, 10000 * 3 // 11, 4, 11),
+        (3, "a_cold", 1, 10000 * 1 // 11, 4, 11),
+    ]

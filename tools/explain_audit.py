@@ -235,6 +235,21 @@ CHECKS = {
         ["LeftAnti"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # windowed heavy hitters: ONE map-side-combined groupBy(window,
+    # token) + salted two-phase top-k — a row_number Window PARTITIONED
+    # BY win_start would funnel each hot window through one task (the
+    # transcripts derivation's conv-partitioned turn_idx window is fine)
+    "trending_tokens": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "windowspecdefinition(win_start"],
+    ),
+    # hot-key audit: ONE groupBy(key) + salted global top-k + a 1-row
+    # broadcast totals join (BroadcastNestedLoopJoin over 1 row is the
+    # intended plan; a Window or a real cartesian is not)
+    "skew_profile": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "Window"],
+    ),
 }
 
 

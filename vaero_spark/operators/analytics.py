@@ -865,3 +865,138 @@ def json_profile_sql(
            MAX(CASE WHEN {scalar} THEN _val END) AS val_max
     FROM jp_kv
     GROUP BY path"""
+
+
+# ---------------------------------------------------------------------------
+# trending tokens (windowed heavy hitters)
+# ---------------------------------------------------------------------------
+
+TRENDING_K = 5
+
+
+def trending_tokens(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    k: int = TRENDING_K,
+) -> DataFrame:
+    """TRENDING TERMS: top-``k`` tokens per hour by occurrence count —
+    the windowed heavy-hitters report behind "what changed this hour"
+    dashboards and drift monitors (``txt_topk_tokens`` ranks the whole
+    corpus once; this ranks every window).
+
+    Deterministic (count DESC, token ASC tiebreak) and exact — never a
+    sketch where the gate demands hash-exactness.
+
+    100 TB shape: tokenize narrow → explode → ONE map-side-combined
+    groupBy(window, token) (the only corpus-sized shuffle) → the salted
+    two-phase :func:`~vaero_spark.operators.transforms.group_topk` on
+    the per-window counts — a hot window (billions of distinct tokens)
+    never funnels through one task the way a row_number window would;
+    the audit REJECTS a Window in the plan.
+    """
+    from vaero_spark.functions.text import tokens
+    from vaero_spark.operators.transforms import group_topk
+
+    counts = (
+        df.select(
+            F.window(F.col(ts_col), "1 hour").start.alias("win_start"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("win_start", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return group_topk(counts, "win_start", "n", "token", k=k)
+
+
+def trending_tokens_sql(table_expr: str, k: int = TRENDING_K) -> str:
+    """DuckDB twin of :func:`trending_tokens` (window form — the salted
+    plan is provably row-identical; the twin IS the equivalence check)."""
+    from vaero_spark.functions.text import tokens_sql
+
+    return f"""
+    tk AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+             unnest({tokens_sql('text')}) AS token
+      FROM {table_expr}),
+    ct AS (SELECT win_start, token, COUNT(*) AS n FROM tk GROUP BY 1, 2)
+    SELECT win_start, CAST(rank AS INTEGER) AS rank, token, n
+    FROM (
+      SELECT win_start, token, n,
+             ROW_NUMBER() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, token) AS rank
+      FROM ct)
+    WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# key-skew profile (the pre-join hot-key audit)
+# ---------------------------------------------------------------------------
+
+SKEW_TOPK = 10
+
+# Guarded integer share: try_multiply => NULL on BIGINT overflow =>
+# actionable error (the cooccur_lift idiom) — in-bound the try product
+# IS the numerator, zero extra cost.
+_SHARE_BP = (
+    "CASE WHEN try_multiply(10000L, n) IS NULL"
+    "     THEN CAST(raise_error('key_skew_profile: 10000*n overflows"
+    " BIGINT; switch share_bp to DECIMAL(38,0)/floor(a/b)') AS BIGINT)"
+    "     ELSE try_multiply(10000L, n) div n_total END"
+)
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str = "conv_id", k: int = SKEW_TOPK
+) -> DataFrame:
+    """KEY-SKEW AUDIT: the hottest ``k`` keys of a prospective
+    join/groupBy key with their row share in basis points, next to the
+    key-space totals — the report that decides BEFORE a 100 TB join
+    whether this key needs salting (``agg_salted``), AQE skew handling,
+    or a broadcast rewrite. A key at thousands of bp (vs mean
+    ``10000/n_keys``) is the hot conversation the north-star rule calls
+    out.
+
+    100 TB shape: ONE map-side-combined groupBy(key) (the only
+    corpus-sized shuffle); the global top-k runs the salted two-phase
+    :func:`~vaero_spark.operators.transforms.group_topk` over a literal
+    group (bounded partial state, audit REJECTS a Window); the 1-row
+    totals ride a broadcast cross join (no driver-side collect). Pure
+    BIGINT math, overflow-guarded.
+    """
+    from vaero_spark.operators.transforms import group_topk
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = group_topk(counts.withColumn("_g", F.lit(0)), "_g", "n", "key", k=k)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "key",
+            "n",
+            F.expr(_SHARE_BP).alias("share_bp"),
+            "n_keys",
+            "n_total",
+        )
+    )
+
+
+def key_skew_profile_sql(
+    table_expr: str, key_col: str = "conv_id", k: int = SKEW_TOPK
+) -> str:
+    """DuckDB twin of :func:`key_skew_profile` (window form)."""
+    return f"""
+    kc AS (SELECT {key_col} AS key, COUNT(*) AS n FROM {table_expr} GROUP BY 1),
+    ks AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                  COUNT(*) AS n_keys FROM kc),
+    top AS (
+      SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank
+      FROM kc)
+    SELECT CAST(rank AS INTEGER) AS rank, key, n,
+           (10000 * n) // n_total AS share_bp, n_keys, n_total
+    FROM top CROSS JOIN ks WHERE rank <= {k}"""
