@@ -1059,6 +1059,33 @@ def q_stream_upsert(spark, sf_dir):
     )
 
 
+def q_neardup_cross(spark, sf_dir):
+    """Cross-snapshot NEAR-dup (operators/dedup.minhash_cross_pairs):
+    new×ref band-key equi-join only (never re-runs ref×ref), exact
+    Jaccard verify over the shared shingle index. The new snapshot
+    plants %9 docs as one-token-appended near-dups (must be caught)
+    and %17 docs as fresh content (must not pair)."""
+    docs = CORPUS.load_documents(spark, sf_dir).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"),
+            F.concat("text", F.lit(" vaero2")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + F.lit(6_000_000)).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh doc "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" unrelated content entirely"),
+                ).alias("text"),
+            )
+        )
+    )
+    return DD.minhash_cross_pairs(docs, new)
+
+
 def q_trending_tokens(spark, sf_dir):
     """Windowed heavy hitters (operators/analytics.trending_tokens):
     exact top-5 tokens per hour, count DESC / token ASC tiebreak; one
@@ -1993,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert": q_stream_upsert,
         "trending_tokens": q_trending_tokens,
         "skew_profile": q_skew_profile,
+        "neardup_cross": q_neardup_cross,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2657,4 +2685,28 @@ def oracle_sql() -> dict[str, str]:
             {AN_TRENDING_SQL}""",
         "skew_profile": f"""{_T},
             {AN_SKEW_SQL}""",
+        # cross-snapshot near-dup: per-side signatures (same seeded hash
+        # family), band join new×ref only, exact Jaccard over the union
+        "neardup_cross": f"""WITH newdocs AS (
+              SELECT doc_id + 5000000 AS doc_id, text || ' vaero2' AS text
+              FROM documents WHERE doc_id % 9 = 0
+              UNION ALL
+              SELECT doc_id + 6000000 AS doc_id,
+                     'fresh doc ' || CAST(doc_id AS VARCHAR)
+                       || ' unrelated content entirely' AS text
+              FROM documents WHERE doc_id % 17 = 0),
+            shr0 AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+            sh_ref AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM shr0),
+            shn0 AS (SELECT doc_id, {_SHINGLES} AS sh FROM newdocs),
+            sh_new AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM shn0),
+            sig_ref AS ({TXT.minhash_sig_select_sql('sh_ref')}),
+            sig_new AS ({TXT.minhash_sig_select_sql('sh_new')}),
+            bands_ref AS (SELECT doc_id, unnest({TXT.band_keys_sql('sig')}) AS bk
+                          FROM sig_ref),
+            bands_new AS (SELECT doc_id, unnest({TXT.band_keys_sql('sig')}) AS bk
+                          FROM sig_new),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands_ref a JOIN bands_new b ON a.bk = b.bk),
+            shingle_rows AS (SELECT * FROM sh_ref UNION ALL SELECT * FROM sh_new),
+            {_jaccard_tail(50)}""",
     }

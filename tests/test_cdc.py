@@ -106,3 +106,40 @@ def test_stream_upsert_out_of_order_duplicates_tombstones(spark, tmp_path):
         2: (11, 1, ""),              # tombstone wins over the late upsert
         3: (5, 0, md5("three")),
     }
+
+
+# ---------------------------------------------------------------------------
+# minhash_cross_pairs (cross-snapshot near-dup)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_cross_pairs_is_cross_only(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before nightfall arrives"
+    )
+    other = (
+        "completely different content about spark shuffles partitions "
+        "and watermark semantics in structured streaming engines today"
+    )
+    ref = spark.createDataFrame(
+        [(1, base), (2, base + " indeed"), (3, other)], DOCS  # 1~2: ref-internal pair
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base + " vaero2"),      # near-dup of ref 1 and 2 -> caught
+            (102, base + " vaero2 bis"),  # near-dup of 101 too (new-internal)
+            (103, "fresh unrelated text about nothing seen before with many novel tokens here"),
+        ],
+        DOCS,
+    )
+    from vaero_spark.operators.dedup import minhash_cross_pairs
+
+    pairs = {(r.id_a, r.id_b) for r in minhash_cross_pairs(ref, new).collect()}
+    # every emitted pair is ref-side x new-side
+    assert all(a in (1, 2, 3) and b in (101, 102, 103) for a, b in pairs)
+    # the planted near-dups are caught; fresh content pairs with nothing
+    assert (1, 101) in pairs and (1, 102) in pairs
+    assert not any(b == 103 for _, b in pairs)
+    # ref-internal (1,2) and new-internal (101,102) pairs are NOT emitted
+    assert (1, 2) not in pairs and (101, 102) not in pairs

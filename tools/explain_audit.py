@@ -250,6 +250,9 @@ CHECKS = {
         ["HashAggregate", "BroadcastNestedLoopJoin"],
         ["CartesianProduct", "Window"],
     ),
+    # cross-snapshot near-dup: band-key + shingle EQUI-joins only —
+    # never all-pairs, never a nested loop
+    "neardup_cross": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 

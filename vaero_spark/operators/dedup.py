@@ -164,6 +164,52 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_cross_pairs(
+    ref_df: "DataFrame",
+    new_df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 50,
+) -> "DataFrame":
+    """CROSS-SNAPSHOT near-dup mining: which NEW docs near-duplicate a
+    doc already in the REFERENCE snapshot — :func:`dedup_against`'s
+    near-dup sibling (that one drops exact by-content repeats; this
+    catches the lightly-edited recrawl copies that survive it), and the
+    incremental form of :func:`minhash_lsh_pairs` (self-join finds
+    within-corpus pairs; a recurring pipeline only needs new×ref).
+
+    Ids must be DISJOINT across the two snapshots (the verification
+    index unions both sides by id; the gate shifts new ids).
+
+    100 TB shape: each side computes signatures independently (same
+    seeded hash family, so band keys agree), then ONE band-key equi-join
+    between the sides — cross pairs only BY CONSTRUCTION, no side
+    column, no post-filter, and the join never revisits ref×ref (the
+    dominant cost of re-running the self-join per crawl). Verification
+    reuses the shared shingle inverted index over the union.
+    """
+    sh_ref = _persist_managed(doc_shingles(ref_df, id_col, text_col))
+    sh_new = _persist_managed(
+        doc_shingles(new_df, id_col, text_col), keep_existing=True
+    )
+    bands = lambda sh, out: minhash_agg(sh, "doc_id", MINHASH_N).select(  # noqa: E731
+        F.col("doc_id").alias(out),
+        F.explode(band_keys(F.col("sig"), MINHASH_BANDS, MINHASH_N)).alias(
+            "bk" if out == "id_a" else "bk_b"
+        ),
+    )
+    cand = (
+        bands(sh_ref, "id_a")
+        .join(bands(sh_new, "id_b"), F.col("bk") == F.col("bk_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = pair_jaccard(cand, sh_ref.unionByName(sh_new))
+    return verified.filter(
+        F.lit(100) * F.col("inter") >= F.lit(min_jaccard_pct) * F.col("union_n")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
