@@ -1059,6 +1059,25 @@ def q_stream_upsert(spark, sf_dir):
     )
 
 
+def q_conv_stats(spark, sf_dir):
+    """Dialogue-structure profile (operators/analytics.conv_turn_stats):
+    per-conversation role mix, same-role run lengths, and the
+    role-alternation rate in basis points — agent-loop / monologue
+    detection; one conv shuffle, gaps-and-islands windows partitioned
+    by conv, two map-side-combined aggs."""
+    from vaero_spark.operators.analytics import conv_turn_stats
+
+    return conv_turn_stats(load_transcripts(spark, sf_dir))
+
+
+def q_cluster_stats(spark, sf_dir):
+    """Duplication-mass report (operators/dedup.cluster_stats): the
+    near-dup cluster size histogram over the planted-near-dup corpus —
+    two model-sized aggregates on top of the checkpointed
+    min-label-propagation clustering."""
+    return DD.cluster_stats(CORPUS.documents_with_neardups(spark, sf_dir))
+
+
 def q_neardup_cross(spark, sf_dir):
     """Cross-snapshot NEAR-dup (operators/dedup.minhash_cross_pairs):
     new×ref band-key equi-join only (never re-runs ref×ref), exact
@@ -2021,6 +2040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_tokens": q_trending_tokens,
         "skew_profile": q_skew_profile,
         "neardup_cross": q_neardup_cross,
+        "conv_stats": q_conv_stats,
+        "cluster_stats": q_cluster_stats,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2194,9 +2215,27 @@ from vaero_spark.operators.assemble import chunk_tokens_sql as _chunk_sql
 from vaero_spark.operators.analytics import response_latency_sql as _latency_sql
 from vaero_spark.operators.analytics import trending_tokens_sql as _trending_sql
 from vaero_spark.operators.analytics import key_skew_profile_sql as _skew_sql
+from vaero_spark.operators.analytics import conv_turn_stats_sql as _convstats_sql
 
 AN_TRENDING_SQL = _trending_sql("transcripts")
 AN_SKEW_SQL = _skew_sql("transcripts", "conv_id")
+AN_CONVSTATS_SQL = _convstats_sql("transcripts")
+
+# duplication-mass histogram: the recursive clustering twin + two aggs
+_CLUSTER_STATS_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
+    {_MINHASH_BODY},
+    sym AS (SELECT id_a AS a, id_b AS b FROM vpairs
+            UNION ALL SELECT id_b, id_a FROM vpairs),
+    reach AS (
+      SELECT a AS node, a AS lab FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    labels AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           cluster_size * COUNT(*) AS n_docs
+    FROM csz GROUP BY cluster_size"""
 from vaero_spark.operators.search import build_postings_sql as _postings_sql
 from vaero_spark.operators.search import fingerprint_search_sql as _fpsearch_sql
 from vaero_spark.operators.curate import conversation_quality_sql as _convq_sql
@@ -2685,6 +2724,9 @@ def oracle_sql() -> dict[str, str]:
             {AN_TRENDING_SQL}""",
         "skew_profile": f"""{_T},
             {AN_SKEW_SQL}""",
+        "conv_stats": f"""{_T},
+            {AN_CONVSTATS_SQL}""",
+        "cluster_stats": _CLUSTER_STATS_SQL,
         # cross-snapshot near-dup: per-side signatures (same seeded hash
         # family), band join new×ref only, exact Jaccard over the union
         "neardup_cross": f"""WITH newdocs AS (

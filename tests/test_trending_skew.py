@@ -56,3 +56,63 @@ def test_key_skew_profile_shares_and_totals(spark):
         (2, "warm", 3, 10000 * 3 // 11, 4, 11),
         (3, "a_cold", 1, 10000 * 1 // 11, 4, 11),
     ]
+
+
+def test_conv_turn_stats_runs_and_alternation(spark):
+    from vaero_spark.operators.analytics import conv_turn_stats
+
+    rows = [
+        # c1: user,user,assistant,tool,tool,tool -> runs [2,1,3], 2 changes
+        ("c1", 0, "user", "x", _ts(9)),
+        ("c1", 1, "user", "x", _ts(9)),
+        ("c1", 2, "assistant", "x", _ts(9)),
+        ("c1", 3, "tool", "x", _ts(9)),
+        ("c1", 4, "tool", "x", _ts(9)),
+        ("c1", 5, "tool", "x", _ts(9)),
+        # c2: single turn -> one run, alternation 0 (denominator floor 1)
+        ("c2", 0, "assistant", "x", _ts(9)),
+        # c3: perfect alternation user/assistant/user -> 10000 bp
+        ("c3", 0, "user", "x", _ts(9)),
+        ("c3", 1, "assistant", "x", _ts(9)),
+        ("c3", 2, "user", "x", _ts(9)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r.conv_id: (
+            r.n_turns, r.n_user, r.n_assistant, r.n_tool,
+            r.n_runs, r.max_run, r.alternation_bp,
+        )
+        for r in conv_turn_stats(df).collect()
+    }
+    assert out["c1"] == (6, 2, 1, 3, 3, 3, 10000 * 2 // 5)
+    assert out["c2"] == (1, 0, 1, 0, 1, 1, 0)
+    assert out["c3"] == (3, 2, 1, 0, 3, 1, 10000)
+
+
+def test_cluster_stats_histogram(spark):
+    from vaero_spark.operators.dedup import cluster_stats
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before nightfall arrives"
+    )
+    other = (
+        "completely different content about spark shuffles partitions "
+        "and watermark semantics in structured streaming engines today"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),                 # cluster of 3: 1,2,3
+            (2, base + " indeed"),
+            (3, base + " truly"),
+            (4, other),                # cluster of 2: 4,5
+            (5, other + " also"),
+            (6, "a lone unrelated document with plenty of novel tokens in it"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in cluster_stats(docs).collect()
+    }
+    assert got == {3: (1, 3), 2: (1, 2)}  # singletons never enter the graph

@@ -253,6 +253,12 @@ CHECKS = {
     # cross-snapshot near-dup: band-key + shingle EQUI-joins only —
     # never all-pairs, never a nested loop
     "neardup_cross": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # dialogue-structure profile: conv-partitioned gaps-and-islands
+    # windows + two aggs — join-free
+    "conv_stats": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
 }
 
 

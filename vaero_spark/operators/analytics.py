@@ -1000,3 +1000,97 @@ def key_skew_profile_sql(
     SELECT CAST(rank AS INTEGER) AS rank, key, n,
            (10000 * n) // n_total AS share_bp, n_keys, n_total
     FROM top CROSS JOIN ks WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# dialogue-structure profile (per-conversation role dynamics)
+# ---------------------------------------------------------------------------
+
+
+def conv_turn_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """DIALOGUE-STRUCTURE profile: per-conversation role dynamics — turn
+    mix, same-role RUN lengths (an assistant monologuing 30 turns, a
+    tool-call loop), and the role-alternation rate in basis points —
+    the transcript-native structural-quality signal next to
+    ``conv_quality``'s text-quality one (agent loops and degenerate
+    monologues have healthy per-turn text but pathological structure).
+
+    ``alternation_bp = 10000·(n_runs−1) div max(n_turns−1, 1)`` — 10000
+    means every turn switched speaker, 0 a single uninterrupted run.
+    Pure BIGINT math.
+
+    100 TB shape: ONE shuffle on conv (the lag + cumulative-run windows
+    share the same conv partitioning — gaps-and-islands, never a
+    whole-table window), then a (conv, run) agg feeding a conv agg,
+    both map-side combined on the partitioning already in place.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(conv_col).orderBy(order_col)
+    chg = (
+        F.col(role_col) != F.lag(role_col).over(w)
+    ).cast("int")
+    runs = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(role_col).alias("role"),
+        F.sum(F.coalesce(chg, F.lit(0))).over(w).alias("_run_id"),
+    )
+    per_run = runs.groupBy("conv_id", "_run_id").agg(
+        F.count(F.lit(1)).alias("_run_len"),
+        F.sum((F.col("role") == "user").cast("long")).alias("_u"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("_a"),
+        F.sum((F.col("role") == "tool").cast("long")).alias("_t"),
+    )
+    return (
+        per_run.groupBy("conv_id")
+        .agg(
+            F.sum("_run_len").alias("n_turns"),
+            F.sum("_u").alias("n_user"),
+            F.sum("_a").alias("n_assistant"),
+            F.sum("_t").alias("n_tool"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("_run_len").alias("max_run"),
+        )
+        .withColumn(  # pure BIGINT div — never float division
+            "alternation_bp",
+            F.expr("(10000 * (n_runs - 1)) div greatest(n_turns - 1, 1)"),
+        )
+    )
+
+
+def conv_turn_stats_sql(table_expr: str) -> str:
+    """DuckDB twin of :func:`conv_turn_stats` (same gaps-and-islands)."""
+    return f"""
+    ch AS (
+      SELECT conv_id, role, turn_idx,
+             CASE WHEN role <> LAG(role) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx)
+                  THEN 1 ELSE 0 END AS _chg
+      FROM {table_expr}),
+    rr AS (
+      SELECT conv_id, role,
+             SUM(_chg) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS _run_id
+      FROM ch),
+    pr AS (
+      SELECT conv_id, _run_id,
+             COUNT(*) AS _run_len,
+             CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS _u,
+             CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS _a,
+             CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS _t
+      FROM rr GROUP BY 1, 2)
+    SELECT conv_id,
+           CAST(SUM(_run_len) AS BIGINT) AS n_turns,
+           CAST(SUM(_u) AS BIGINT) AS n_user,
+           CAST(SUM(_a) AS BIGINT) AS n_assistant,
+           CAST(SUM(_t) AS BIGINT) AS n_tool,
+           COUNT(*) AS n_runs,
+           CAST(MAX(_run_len) AS BIGINT) AS max_run,
+           (10000 * (COUNT(*) - 1))
+             // GREATEST(CAST(SUM(_run_len) AS BIGINT) - 1, 1) AS alternation_bp
+    FROM pr GROUP BY conv_id"""

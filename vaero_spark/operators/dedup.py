@@ -864,3 +864,37 @@ def apply_changeset(
     kept = base_df.join(changes_df.select(id_col), id_col, "left_anti")
     upserts = changes_df.filter(F.col(status_col).isin("added", "changed"))
     return manifest(kept).unionByName(manifest(upserts))
+
+
+def cluster_stats(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 50,
+) -> "DataFrame":
+    """DUPLICATION-MASS report: the near-dup CLUSTER SIZE HISTOGRAM —
+    how many clusters of each size the corpus carries and how many docs
+    they bind (``n_dup_docs`` = the rows a keep-one-per-cluster pass
+    would drop is ``sum((size-1)·n_clusters)`` downstream). The
+    go/no-go summary a curation run reads before committing to
+    ``dedup_keep``: a corpus whose mass sits in a few giant clusters
+    needs boilerplate stripping first; long-tail pairs just need the
+    standard pass.
+
+    100 TB shape: rides :func:`neardup_clusters` (banded pair mining +
+    checkpointed min-label propagation), then TWO model-sized
+    aggregates: groupBy(cluster) → size over the cluster-participant
+    set only, groupBy(size) → histogram (output ≤ max-cluster-size
+    rows). Nothing here touches non-duplicate docs.
+    """
+    labels = neardup_clusters(df, id_col, text_col, min_jaccard_pct)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
