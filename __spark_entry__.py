@@ -1059,6 +1059,67 @@ def q_stream_upsert(spark, sf_dir):
     )
 
 
+def q_ann_eval(spark, sf_dir):
+    """In-engine retrieval evaluation (operators/similarity.
+    ann_recall_at_k): per-query recall@5 of the sign-bucketed ANN vs
+    the exact brute ranking, in basis points — one (query, neighbor)
+    equi-join + one groupBy over k·|Q| rows; the rankings themselves
+    are the existing oracle-exact ann_brute / ann_bucketed plans."""
+    e = CORPUS.load_embeddings(spark, sf_dir)
+    q = _ann_queries(e)
+    exact = SIM.cosine_topk_brute(e, q, k=5)
+    approx = SIM.cosine_topk_bucketed(e, q, k=5)
+    return SIM.ann_recall_at_k(exact, approx, k=5)
+
+
+def q_stream_trending(spark, sf_dir):
+    """STREAMING windowed token counts (operators/analytics.
+    stream_windowed_token_counts): watermark → tokenize → groupBy
+    (window, token) in APPEND mode — each (window, token) finalized
+    exactly once at watermark passage, state bounded by the horizon.
+    Bounded-replay drain: one-batch backlog + a zero-token sentinel 3 h
+    past max_ts flushes every real window; ranking the drained counts
+    with group_topk must equal batch trending_tokens (same oracle)."""
+    import datetime
+    import tempfile
+
+    from vaero_spark.operators.analytics import stream_windowed_token_counts
+    from vaero_spark.sinks.writers import MemorySink
+
+    t = load_transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    max_ts = t.agg(F.max("ts")).first()[0]
+    work = tempfile.mkdtemp(prefix="vaero_q_strend_")
+    inp = f"{work}/in"
+    t.write.parquet(inp)
+    src = spark.readStream.schema(t.schema).parquet(inp)  # one batch
+    sink = MemorySink()
+    q = (
+        stream_windowed_token_counts(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: the full backlog, nothing late
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", 0, "system", "", "", max_ts + datetime.timedelta(hours=3))],
+        t.schema,
+    )
+    sentinel.write.mode("append").parquet(inp)
+    q.processAllAvailable()  # batch 2: watermark jumps, windows flush
+    q.stop()
+    rows = [(r.win_start, r.token, r.n) for _, batch in sink.batches for r in batch]
+    counts = spark.createDataFrame(rows, "win_start timestamp, token string, n long")
+    return TR.group_topk(counts, "win_start", "n", "token", k=5)
+
+
 def q_conv_stats(spark, sf_dir):
     """Dialogue-structure profile (operators/analytics.conv_turn_stats):
     per-conversation role mix, same-role run lengths, and the
@@ -2042,6 +2103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cross": q_neardup_cross,
         "conv_stats": q_conv_stats,
         "cluster_stats": q_cluster_stats,
+        "stream_trending": q_stream_trending,
+        "ann_eval": q_ann_eval,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2727,6 +2790,19 @@ def oracle_sql() -> dict[str, str]:
         "conv_stats": f"""{_T},
             {AN_CONVSTATS_SQL}""",
         "cluster_stats": _CLUSTER_STATS_SQL,
+        # streamed windowed counts + batch ranking == batch trending
+        "stream_trending": f"""{_T},
+            {AN_TRENDING_SQL}""",
+        # recall@5 of the bucketed ranking vs brute — both rankings are
+        # the existing hash-exact ANN oracles, composed as subqueries
+        "ann_eval": f"""
+            SELECT e.query_id,
+                   COUNT(a.neighbor_id) AS n_hits,
+                   (10000 * COUNT(a.neighbor_id)) // 5 AS recall_bp
+            FROM ({_ann_sql(bucketed=False)}) e
+            LEFT JOIN ({_ann_sql(bucketed=True)}) a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id""",
         # cross-snapshot near-dup: per-side signatures (same seeded hash
         # family), band join new×ref only, exact Jaccard over the union
         "neardup_cross": f"""WITH newdocs AS (

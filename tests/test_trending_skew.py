@@ -116,3 +116,23 @@ def test_cluster_stats_histogram(spark):
         for r in cluster_stats(docs).collect()
     }
     assert got == {3: (1, 3), 2: (1, 2)}  # singletons never enter the graph
+
+
+def test_ann_recall_at_k_arithmetic(spark):
+    from vaero_spark.operators.similarity import ann_recall_at_k
+
+    exact = spark.createDataFrame(
+        [("q1", 1), ("q1", 2), ("q1", 3), ("q1", 4), ("q1", 5),
+         ("q2", 7), ("q2", 8), ("q2", 9), ("q2", 10), ("q2", 11)],
+        "query_id string, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 3/5 overlap (6, 99 are misses); q2: nothing returned
+        [("q1", 1), ("q1", 3), ("q1", 5), ("q1", 6), ("q1", 99)],
+        "query_id string, neighbor_id long",
+    )
+    got = {
+        r.query_id: (r.n_hits, r.recall_bp)
+        for r in ann_recall_at_k(exact, approx, k=5).collect()
+    }
+    assert got == {"q1": (3, 6000), "q2": (0, 0)}

@@ -1094,3 +1094,43 @@ def conv_turn_stats_sql(table_expr: str) -> str:
            (10000 * (COUNT(*) - 1))
              // GREATEST(CAST(SUM(_run_len) AS BIGINT) - 1, 1) AS alternation_bp
     FROM pr GROUP BY conv_id"""
+
+
+def stream_windowed_token_counts(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """STREAMING windowed token counts — the live feeder of
+    :func:`trending_tokens`: watermark → tokenize/explode (narrow,
+    JVM-side) → groupBy(window, token) count in APPEND mode, so each
+    (window, token) pair is emitted exactly ONCE, finalized, when the
+    watermark passes its window's end. State is one count per OPEN
+    (window, token), evicted at the watermark horizon — the 10^12-turn
+    shape (an update-mode emitter would re-send every hot token every
+    batch; append sends each exactly once). A consumer ranks the
+    emitted counts per closed window (the gate runs
+    :func:`~vaero_spark.operators.transforms.group_topk` over the
+    drain and must equal batch ``trending_tokens`` exactly).
+
+    Append-mode drain contract (the ``stream_w_distinct`` convention):
+    feed a bounded replay as ONE batch (the watermark only advances
+    between batches, so nothing is late) and append one sentinel event
+    past ``max_ts + watermark + 2·duration`` to flush every real
+    window; the sentinel's own window stays held, unemitted (zero-token
+    sentinel text works — the watermark advances at the watermark node,
+    before tokenization drops the row).
+    """
+    from vaero_spark.functions.text import tokens
+
+    tok = stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), duration).alias("win"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    return (
+        tok.groupBy("win", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "token", "n")
+    )

@@ -460,3 +460,33 @@ def cosine_topk_hyperplane(
         .dropDuplicates(["q_id", "n_id"])  # OR across tables
     )
     return _exact_cosine_rank(cand, k)
+
+
+def ann_recall_at_k(
+    exact: DataFrame, approx: DataFrame, k: int = 5
+) -> DataFrame:
+    """RETRIEVAL EVALUATION as a first-class op: per-query recall@k of
+    an approximate ranking against the exact one, in basis points —
+    the measurement loop that tunes LSH band/table and IVF probe
+    parameters runs IN the engine instead of collecting rankings to the
+    driver (``BENCH/scale_ops_*.json`` measures the same number out of
+    band; this makes it a queryable table a pipeline can gate on).
+
+    Both inputs are (query_id, neighbor_id, rank, …) top-k tables.
+    ``n_hits`` counts exact neighbors the approximate ranking also
+    returned (set intersection — rank positions don't matter for
+    recall); ``recall_bp = 10000·n_hits div k``. Pure BIGINT.
+
+    100 TB shape: the rankings are the expensive part and already
+    model-sized (k rows per query); this is ONE equi-join on
+    (query, neighbor) + ONE groupBy(query) over k·|Q| rows.
+    """
+    a = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    j = exact.select("query_id", "neighbor_id").join(
+        a, ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+        .withColumn("recall_bp", F.expr(f"(10000 * n_hits) div {k}"))
+    )
