@@ -2023,6 +2023,36 @@ def q_stream_lexicon(spark, sf_dir):
     )
 
 
+def q_sketch_countmin(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketch.countmin_report): the
+    d x w mergeable grid (map-side combine bounds the shuffle at d*w
+    rows per partition) graded against the exact top-20 tokens —
+    n_cms >= n_exact always; the gap is the collision load."""
+    from vaero_spark.operators.sketch import countmin_report
+
+    return countmin_report(CORPUS.load_documents(spark, sf_dir))
+
+
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-token summary (operators/sketch.hll_summary)
+    over transcripts: 64 max-rank registers (the exact mergeable state),
+    the integer raw estimate, and its error vs the exact count — all
+    BIGINT, the estimate evaluated as (alpha_bp*m^2*2^R) div (10^4*S)."""
+    from vaero_spark.operators.sketch import hll_summary
+
+    return hll_summary(load_transcripts(spark, sf_dir))
+
+
+def q_graph_textrank(spark, sf_dir):
+    """Integer fixed-point TextRank (operators/graph.textrank): 6 damped
+    power-iteration rounds over the token-adjacency graph, vocab-sized
+    state, per-round localCheckpoint, self-loop-completed node set; the
+    DuckDB twin replays the identical recurrence in a recursive CTE."""
+    from vaero_spark.operators.graph import textrank
+
+    return textrank(CORPUS.load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
     50 entries. Coverage ROTATES per the standing r4 #2 rule, and this
@@ -2105,6 +2135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": q_cluster_stats,
         "stream_trending": q_stream_trending,
         "ann_eval": q_ann_eval,
+        "sketch_countmin": q_sketch_countmin,
+        "sketch_hll": q_sketch_hll,
+        "graph_textrank": q_graph_textrank,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2421,6 +2454,9 @@ _W_SESSION_SQL = f"""{_T},
 
 
 def oracle_sql() -> dict[str, str]:
+    from vaero_spark.operators.graph import textrank_sql
+    from vaero_spark.operators.sketch import countmin_report_sql, hll_summary_sql
+
     return {
         "t_add": f"{_T} SELECT *, TRUE AS replay, 'p1' AS pipeline FROM transcripts",
         "t_rename_delete": f"""{_T}
@@ -2803,6 +2839,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ({_ann_sql(bucketed=True)}) a
               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
             GROUP BY e.query_id""",
+        # same md5-derived Carter-Wegman grid in both engines; the exact
+        # top-20 grades the sketch (n_cms >= n_exact by construction)
+        "sketch_countmin": f"WITH {countmin_report_sql('documents')}",
+        # same register routing + integer raw estimate; regs array is the
+        # exact mergeable sketch state
+        "sketch_hll": f"""{_T},
+            {hll_summary_sql('transcripts')}""",
+        # the identical integer recurrence replayed as a recursive CTE
+        # (self-loops keep the working table complete round over round)
+        "graph_textrank": f"WITH RECURSIVE {textrank_sql('documents')}",
         # cross-snapshot near-dup: per-side signatures (same seeded hash
         # family), band join new×ref only, exact Jaccard over the union
         "neardup_cross": f"""WITH newdocs AS (
