@@ -2053,6 +2053,69 @@ def q_graph_textrank(spark, sf_dir):
     return textrank(CORPUS.load_documents(spark, sf_dir))
 
 
+def q_w_hll(spark, sf_dir):
+    """Batch windowed HyperLogLog (operators/sketch.windowed_hll):
+    per-hour register maxima completed against a broadcast 64-row
+    dimension, the integer raw estimate, and the exact per-window
+    distinct count + err_bp grading it — the report that sizes the
+    sketch before a stream trusts it."""
+    from vaero_spark.operators.sketch import windowed_hll
+
+    return windowed_hll(load_transcripts(spark, sf_dir))
+
+
+def q_stream_hll(spark, sf_dir):
+    """STREAMING windowed HLL registers (operators/sketch.
+    stream_windowed_hll): watermark → route/rank (narrow) → groupBy
+    (window, register) MAX in APPEND mode — state is AT MOST 64
+    register rows per open window whatever the corpus does (the exact
+    sibling stream_w_distinct holds one row per open distinct key).
+    Drained registers + the stateless summary layer must equal the
+    batch windowed sketch (same oracle minus the exact grading side)."""
+    import datetime
+    import tempfile
+
+    from vaero_spark.operators.sketch import stream_windowed_hll, windowed_hll_summary
+    from vaero_spark.sinks.writers import MemorySink
+
+    t = load_transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    max_ts = t.agg(F.max("ts")).first()[0]
+    work = tempfile.mkdtemp(prefix="vaero_q_shll_")
+    inp = f"{work}/in"
+    t.write.parquet(inp)
+    src = spark.readStream.schema(t.schema).parquet(inp)  # one batch
+    sink = MemorySink()
+    q = (
+        stream_windowed_hll(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: the full backlog, nothing late
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", 0, "system", "", "", max_ts + datetime.timedelta(hours=3))],
+        t.schema,
+    )
+    sentinel.write.mode("append").parquet(inp)
+    q.processAllAvailable()  # batch 2: watermark jumps, windows flush
+    q.stop()
+    rows = [
+        (r.win_start, r.register, r.max_rank) for _, batch in sink.batches for r in batch
+    ]
+    regs = spark.createDataFrame(
+        rows, "win_start timestamp, register int, max_rank int"
+    )
+    return windowed_hll_summary(regs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
     50 entries. Coverage ROTATES per the standing r4 #2 rule, and this
@@ -2138,6 +2201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_countmin": q_sketch_countmin,
         "sketch_hll": q_sketch_hll,
         "graph_textrank": q_graph_textrank,
+        "w_hll": q_w_hll,
+        "stream_hll": q_stream_hll,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2455,7 +2520,11 @@ _W_SESSION_SQL = f"""{_T},
 
 def oracle_sql() -> dict[str, str]:
     from vaero_spark.operators.graph import textrank_sql
-    from vaero_spark.operators.sketch import countmin_report_sql, hll_summary_sql
+    from vaero_spark.operators.sketch import (
+        countmin_report_sql,
+        hll_summary_sql,
+        windowed_hll_sql,
+    )
 
     return {
         "t_add": f"{_T} SELECT *, TRUE AS replay, 'p1' AS pipeline FROM transcripts",
@@ -2849,6 +2918,14 @@ def oracle_sql() -> dict[str, str]:
         # the identical integer recurrence replayed as a recursive CTE
         # (self-loops keep the working table complete round over round)
         "graph_textrank": f"WITH RECURSIVE {textrank_sql('documents')}",
+        # per-window register routing + integer estimate, graded by the
+        # exact windowed distinct (the one corpus-sized shuffle)
+        "w_hll": f"""{_T},
+            {windowed_hll_sql('transcripts', include_exact=True)}""",
+        # the drained streaming registers + summary layer == the batch
+        # windowed sketch (same SQL minus the exact grading side)
+        "stream_hll": f"""{_T},
+            {windowed_hll_sql('transcripts', include_exact=False)}""",
         # cross-snapshot near-dup: per-side signatures (same seeded hash
         # family), band join new×ref only, exact Jaccard over the union
         "neardup_cross": f"""WITH newdocs AS (

@@ -169,3 +169,85 @@ def test_textrank_sink_node_keeps_base(spark):
     assert rows == ref
     # a receives nothing after round 1: pinned at BASE
     assert rows["a"] == TEXTRANK_BASE
+
+# ---------------------------------------------------------------------------
+# Windowed HLL (batch == python reference; summary layer == gate math)
+# ---------------------------------------------------------------------------
+
+def test_windowed_hll_matches_python_reference(spark):
+    """Two windows, disjoint vocab skew: each window's registers,
+    estimate, and exact grading must equal the pure-Python evaluation
+    restricted to that window."""
+    import datetime
+
+    from vaero_spark.operators.sketch import windowed_hll
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    t1 = datetime.datetime(2026, 1, 1, 11, 30, 0)
+    rows = [(d, txt, t0 if d <= 2 else t1) for d, txt in DOCS]
+    df = spark.createDataFrame(rows, "doc_id int, text string, ts timestamp")
+
+    by_win = {
+        t0.replace(minute=0): {t for d, txt in DOCS if d <= 2 for t in txt.split()},
+        t1.replace(minute=0): {t for d, txt in DOCS if d > 2 for t in txt.split()},
+    }
+    got = {r.win_start: r for r in windowed_hll(df).collect()}
+    assert set(got) == set(by_win)
+    for win, vocab in by_win.items():
+        regs, r_max, s_sum, est = _py_hll(vocab)
+        r = got[win]
+        assert list(r.regs) == regs
+        assert (r.r_max, r.s_sum, r.est_distinct) == (r_max, s_sum, est)
+        assert r.n_exact == len(vocab)
+        assert r.err_bp == (10000 * abs(est - len(vocab))) // len(vocab)
+
+
+def test_stream_windowed_hll_drained_equals_batch(spark, tmp_path):
+    """Append-mode drain (one-batch backlog + zero-token sentinel) must
+    finalize exactly the batch registers — the mergeable state a 100 TB
+    stream ships downstream."""
+    import datetime
+
+    from vaero_spark.operators.sketch import (
+        stream_windowed_hll,
+        windowed_hll_registers,
+    )
+    from vaero_spark.sinks.writers import MemorySink
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (d, txt, t0 + datetime.timedelta(minutes=40 * i))
+        for i, (d, txt) in enumerate(DOCS)
+    ]
+    schema = "doc_id int, text string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    inp = str(tmp_path / "in")
+    df.write.parquet(inp)
+
+    src = spark.readStream.schema(df.schema).parquet(inp)
+    sink = MemorySink()
+    q = (
+        stream_windowed_hll(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    max_ts = max(r[2] for r in rows)
+    spark.createDataFrame(
+        [(99, "", max_ts + datetime.timedelta(hours=3))], schema
+    ).write.mode("append").parquet(inp)
+    q.processAllAvailable()
+    q.stop()
+
+    drained = sorted(
+        (r.win_start, r.register, r.max_rank)
+        for _, batch in sink.batches
+        for r in batch
+    )
+    batch = sorted(
+        (r.win_start, r.register, r.max_rank)
+        for r in windowed_hll_registers(df).collect()
+    )
+    assert drained == batch and len(drained) > 0

@@ -183,6 +183,22 @@ def countmin_report_sql(table_expr: str, k: int = CMS_TOPK) -> str:
     GROUP BY token, n_exact"""
 
 
+def _rank_from_sfx() -> Column:
+    """Rank of the 34-bit suffix in column ``_sfx``: trailing-zero run
+    length + 1 (``HLL_MAX_RANK`` for the all-zero suffix). bin() prints
+    without leading zeros in BOTH engines, so the string arithmetic is
+    engine-identical."""
+    return (
+        F.when(F.col("_sfx") == 0, F.lit(HLL_MAX_RANK))
+        .otherwise(
+            F.expr(
+                "length(bin(_sfx)) - length(TRIM(TRAILING '0' FROM bin(_sfx))) + 1"
+            ).cast("int")
+        )
+        .alias("rank")
+    )
+
+
 def hll_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row HyperLogLog summary over whitespace tokens.
 
@@ -210,13 +226,7 @@ def hll_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.shiftright(h, 6).alias("_sfx"),
     ).select(
         "register",
-        F.when(F.col("_sfx") == 0, F.lit(HLL_MAX_RANK))
-        .otherwise(
-            F.expr(
-                "length(bin(_sfx)) - length(TRIM(TRAILING '0' FROM bin(_sfx))) + 1"
-            ).cast("int")
-        )
-        .alias("rank"),
+        _rank_from_sfx(),
     )
     regs = (
         df.sparkSession.range(HLL_M)
@@ -301,3 +311,213 @@ def hll_summary_sql(table_expr: str) -> str:
            s_sum,
            regs
     FROM ssum, exact"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed HLL — batch and streaming (the sketch the stream actually ships)
+# ---------------------------------------------------------------------------
+
+
+def windowed_hll_registers(
+    df: DataFrame,
+    duration: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-window HLL register maxima (win_start, register, max_rank) —
+    the batch form of the mergeable state :func:`stream_windowed_hll`
+    maintains live. Only OBSERVED registers appear; the summary layer
+    completes the set (untouched register = rank 0).
+
+    100 TB shape: hash + route narrow; ONE map-side-combined
+    groupBy(window, register) whose shuffle moves <= m rows per
+    partition per open window.
+    """
+    tok = df.select(
+        F.window(F.col(ts_col), duration).start.alias("win_start"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    h = _hex_slice_to_long(F.md5(F.col("token")))
+    rows = tok.select(
+        "win_start", F.pmod(h, F.lit(HLL_M)).alias("register"),
+        F.shiftright(h, 6).alias("_sfx"),
+    ).select(
+        "win_start",
+        "register",
+        _rank_from_sfx(),
+    )
+    return rows.groupBy("win_start", "register").agg(F.max("rank").alias("max_rank"))
+
+
+def stream_windowed_hll(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """STREAMING windowed HLL registers in APPEND mode — the approximate
+    sibling of :func:`~vaero_spark.operators.windows.
+    stream_windowed_distinct`, and the reason sketches exist at stream
+    scale: the exact op's state is one row per OPEN (window, distinct
+    key) — unbounded in the key domain — while this op's state is AT
+    MOST ``m`` = 64 register rows per open window, whatever the corpus
+    does. Each (window, register) max-rank is emitted exactly ONCE,
+    finalized, at watermark passage; downstream consumers merge emitted
+    registers by MAX (mergeability pytest-pinned) and apply the
+    :func:`windowed_hll_summary` arithmetic.
+
+    Drain contract = the ``stream_w_distinct`` convention: bounded
+    replay as one batch + a zero-token sentinel past
+    ``max_ts + watermark + 2*duration`` (the watermark advances at the
+    watermark node, before tokenization drops the sentinel row; its own
+    window stays held, unemitted).
+    """
+    tok = stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), duration).alias("win"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    h = _hex_slice_to_long(F.md5(F.col("token")))
+    rows = tok.select(
+        "win", F.pmod(h, F.lit(HLL_M)).alias("register"),
+        F.shiftright(h, 6).alias("_sfx"),
+    ).select(
+        "win",
+        "register",
+        _rank_from_sfx(),
+    )
+    return (
+        rows.groupBy("win", "register")
+        .agg(F.max("rank").alias("max_rank"))
+        .select(F.col("win.start").alias("win_start"), "register", "max_rank")
+    )
+
+
+def windowed_hll_summary(regs: DataFrame) -> DataFrame:
+    """Per-window estimate from (win_start, register, max_rank) rows —
+    the stateless arithmetic layer shared by the batch gate and the
+    streaming drain (identical inputs => identical rows, which is the
+    drained==batch oracle). Completes each window's register set
+    (untouched register = rank 0) via a broadcast 64-row dimension,
+    then the same flat two-level aggregate as :func:`hll_summary` —
+    no arithmetic inside array lambdas (HOF discipline).
+    """
+    spark = regs.sparkSession
+    dim = F.broadcast(
+        spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
+    )
+    full = (
+        regs.select("win_start").distinct()
+        .join(dim)
+        .join(regs, ["win_start", "register"], "left")
+        .select(
+            "win_start",
+            "register",
+            F.coalesce(F.col("max_rank"), F.lit(0)).alias("max_rank"),
+        )
+    )
+    mx = full.groupBy("win_start").agg(F.max("max_rank").alias("r_max"))
+    return (
+        full.join(mx, "win_start")
+        .groupBy("win_start", "r_max")
+        .agg(
+            F.expr("CAST(SUM(shiftleft(1L, r_max - max_rank)) AS BIGINT)").alias(
+                "s_sum"
+            ),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("register", "max_rank"))),
+                lambda s: s.max_rank,
+            ).alias("regs"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.expr(
+                f"(CAST({HLL_ALPHA_BP} AS BIGINT) * {HLL_M * HLL_M}"
+                " * shiftleft(1L, r_max)) div (10000L * s_sum)"
+            ),
+        )
+        .select("win_start", "est_distinct", "r_max", "s_sum", "regs")
+    )
+
+
+def windowed_hll(
+    df: DataFrame,
+    duration: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch windowed HLL, self-grading: each window's integer estimate
+    NEXT TO its exact distinct-token count (n_exact + err_bp) — the
+    report that sizes the sketch before a deployment trusts it. The
+    exact side is the one corpus-sized shuffle and exists only to grade
+    (production reads the registers alone; ``w_distinct`` is the exact
+    op when the gate demands exactness).
+    """
+    summ = windowed_hll_summary(windowed_hll_registers(df, duration, ts_col, text_col))
+    exact = (
+        df.select(
+            F.window(F.col(ts_col), duration).start.alias("win_start"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("win_start")
+        .agg(F.countDistinct("token").alias("n_exact"))
+    )
+    return (
+        summ.join(exact, "win_start")
+        .withColumn(
+            "err_bp", F.expr("(10000L * abs(est_distinct - n_exact)) div n_exact")
+        )
+        .select(
+            "win_start", "n_exact", "est_distinct", "err_bp", "r_max", "s_sum", "regs"
+        )
+    )
+
+
+def windowed_hll_sql(table_expr: str, include_exact: bool = True) -> str:
+    """DuckDB twin of :func:`windowed_hll` (``include_exact=True``) and
+    of the drained :func:`stream_windowed_hll` + summary composition
+    (``include_exact=False``) — same routing, same integer estimate."""
+    h = hex_slice_to_long_sql("md5(token)")
+    exact_cte = """,
+    wexact AS (SELECT win_start, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact
+               FROM wtok GROUP BY win_start)"""
+    exact_cols = (
+        "n_exact, est_distinct, CAST((10000::BIGINT * abs(est_distinct - n_exact))"
+        " // n_exact AS BIGINT) AS err_bp,"
+        if include_exact
+        else "est_distinct,"
+    )
+    exact_join = " JOIN wexact USING (win_start)" if include_exact else ""
+    return f"""
+    wtok AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                    unnest({tokens_sql('text')}) AS token
+             FROM {table_expr}),
+    whash AS (SELECT win_start, ({h}) % {HLL_M} AS register,
+                     ({h}) // 64 AS sfx
+              FROM wtok),
+    wrank AS (SELECT win_start, register,
+                     CASE WHEN sfx = 0 THEN {HLL_MAX_RANK}
+                          ELSE length(bin(sfx)) - length(rtrim(bin(sfx), '0')) + 1
+                     END AS rank
+              FROM whash),
+    wobs AS (SELECT win_start, register, MAX(rank) AS max_rank
+             FROM wrank GROUP BY win_start, register),
+    wfull AS (SELECT w.win_start, g.register,
+                     CAST(COALESCE(o.max_rank, 0) AS INTEGER) AS max_rank
+              FROM (SELECT DISTINCT win_start FROM wobs) w
+              CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1})) AS register) g
+              LEFT JOIN wobs o
+                ON o.win_start = w.win_start AND o.register = g.register),
+    wmax AS (SELECT win_start, MAX(max_rank) AS r_max FROM wfull GROUP BY win_start),
+    wsum AS (SELECT f.win_start, m.r_max,
+                    CAST(SUM(1::BIGINT << (m.r_max - f.max_rank)) AS BIGINT) AS s_sum,
+                    list(f.max_rank ORDER BY f.register) AS regs
+             FROM wfull f JOIN wmax m USING (win_start)
+             GROUP BY f.win_start, m.r_max),
+    west AS (SELECT win_start, r_max, s_sum, regs,
+                    CAST(({HLL_ALPHA_BP}::BIGINT * {HLL_M * HLL_M}
+                          * (1::BIGINT << r_max))
+                         // (10000::BIGINT * s_sum) AS BIGINT) AS est_distinct
+             FROM wsum){exact_cte if include_exact else ""}
+    SELECT west.win_start, {exact_cols} r_max, s_sum, regs
+    FROM west{exact_join}"""
