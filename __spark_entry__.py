@@ -2116,6 +2116,70 @@ def q_stream_hll(spark, sf_dir):
     return windowed_hll_summary(regs)
 
 
+def q_w_concurrency(spark, sf_dir):
+    """Interval-concurrency occupancy (operators/windows.
+    concurrency_by_hour): max simultaneously-open conversations per
+    hour — the classic sweep-line (+1/−1, running max) decomposed as a
+    two-level parallel prefix-max (minute buckets → hour combine) so a
+    hot hour never funnels through one task; pure integer sweep in
+    both engines."""
+    return WINDOWS.concurrency_by_hour(load_transcripts(spark, sf_dir))
+
+
+def q_cep_absence(spark, sf_dir):
+    """CEP negation (operators/cep.cep_absence): user turns with no
+    assistant response within the next 3 turns — the notFollowedBy
+    pattern class a positive regex scan cannot count (dangling
+    triggers overlap); reversed-window next-response index, exact in
+    both engines."""
+    return CEP.cep_absence(load_transcripts(spark, sf_dir))
+
+
+def q_stream_absence(spark, sf_dir):
+    """STREAMING absence detection (operators/cep.stream_cep_absence):
+    unanswered-user alerts as turns arrive — negation needs state that
+    settles on what does NOT arrive (the k-turn window filling); open
+    triggers bounded by k+1, every emission equals the batch scan of
+    the seen prefix, drained == the batch operator's SQL oracle."""
+    import tempfile
+
+    from vaero_spark.operators.cep import stream_cep_absence
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_sabs_")
+    inp = _gate_stream_input(spark, sf_dir, "plain")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        stream_cep_absence(src, k=3, watermark="60 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: later epochs supersede earlier emissions
+    for epoch_id, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = r
+    flagged = [
+        (r.conv_id, r.n_turns, r.n_triggers, r.n_dangling, r.first_dangling_turn)
+        for r in final.values()
+        if r.n_dangling > 0
+    ]
+    return spark.createDataFrame(
+        flagged,
+        "conv_id string, n_turns long, n_triggers long, n_dangling long, "
+        "first_dangling_turn long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
     50 entries. Coverage ROTATES per the standing r4 #2 rule, and this
@@ -2203,6 +2267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_textrank": q_graph_textrank,
         "w_hll": q_w_hll,
         "stream_hll": q_stream_hll,
+        "w_concurrency": q_w_concurrency,
+        "cep_absence": q_cep_absence,
+        "stream_absence": q_stream_absence,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2926,6 +2993,16 @@ def oracle_sql() -> dict[str, str]:
         # windowed sketch (same SQL minus the exact grading side)
         "stream_hll": f"""{_T},
             {windowed_hll_sql('transcripts', include_exact=False)}""",
+        # two-level sweep-line: minute prefix-max + hour combine; the
+        # unpartitioned carry window is one row per minute (time-range
+        # bounded by construction)
+        "w_concurrency": f"""{_T},
+            {WINDOWS.concurrency_by_hour_sql('transcripts')}""",
+        # reversed-window next-response index: dangling = trigger with
+        # no response within k turns (or none before conversation end)
+        "cep_absence": f"{_T} {CEP.cep_absence_sql('transcripts')}",
+        # drained streaming absence == the batch operator row for row
+        "stream_absence": f"{_T} {CEP.cep_absence_sql('transcripts')}",
         # cross-snapshot near-dup: per-side signatures (same seeded hash
         # family), band join new×ref only, exact Jaccard over the union
         "neardup_cross": f"""WITH newdocs AS (

@@ -148,6 +148,114 @@ def cep_match_sql(
 
 
 # ---------------------------------------------------------------------------
+# CEP negation — trigger NOT followed by response within k turns
+# ---------------------------------------------------------------------------
+
+
+def cep_absence(
+    df: DataFrame,
+    trigger_role: str = "user",
+    response_role: str = "assistant",
+    k: int = 3,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """ABSENCE pattern (CEP negation): per conversation, find trigger
+    turns with NO response turn within the next ``k`` turns — the
+    Flink-CEP ``notFollowedBy`` / MATCH_RECOGNIZE negation class
+    ("user turn never answered", "order placed, no shipment event"),
+    the one CEP shape a positive regex scan cannot count: dangling
+    triggers may overlap (``uuu`` with k=3 is up to three dangling
+    turns), so a non-overlapping match count under-reports.
+
+    Exact position arithmetic instead: a reversed running ``min`` gives
+    every turn the index of the NEXT response turn in its conversation
+    (one window, PARTITIONED by conversation — bounded, never global);
+    a trigger is dangling iff that index is absent or more than ``k``
+    ahead. A trigger within the last ``k`` turns of the conversation
+    with no response before the end counts as dangling (end-of-stream
+    = no response came), matching the streaming twin's drained fold.
+
+    Output: (conv_id, n_turns, n_triggers, n_dangling,
+    first_dangling_turn), conversations with >= 1 dangling trigger,
+    pure integer arithmetic.
+    """
+    if trigger_role == response_role:
+        raise ValueError("trigger and response roles must differ")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    w_after = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_resp = F.min(
+        F.when(F.col(role_col) == response_role, F.col(order_col))
+    ).over(w_after)
+    base = df.withColumn("_next_resp", next_resp)
+    is_trig = F.col(role_col) == trigger_role
+    dangling = is_trig & (
+        F.col("_next_resp").isNull()
+        | (F.col("_next_resp") - F.col(order_col) > k)
+    )
+    return (
+        base.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(is_trig, 1).otherwise(0)).cast("bigint").alias("n_triggers"),
+            F.sum(F.when(dangling, 1).otherwise(0)).cast("bigint").alias("n_dangling"),
+            F.min(F.when(dangling, F.col(order_col))).cast("bigint").alias(
+                "first_dangling_turn"
+            ),
+        )
+        .filter(F.col("n_dangling") > 0)
+    )
+
+
+def cep_absence_sql(
+    table: str,
+    trigger_role: str = "user",
+    response_role: str = "assistant",
+    k: int = 3,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> str:
+    """DuckDB twin of :func:`cep_absence` (standalone SELECT): the same
+    reversed-window next-response index. SUM casts OUTSIDE (HUGEINT
+    rule)."""
+    return f"""
+    SELECT {conv_col}, n_turns, n_triggers, n_dangling, first_dangling_turn
+    FROM (
+      SELECT {conv_col},
+             COUNT(*) AS n_turns,
+             CAST(SUM(CASE WHEN {role_col} = '{trigger_role}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_triggers,
+             CAST(SUM(CASE WHEN _dangling THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dangling,
+             CAST(MIN(CASE WHEN _dangling THEN {order_col} END) AS BIGINT)
+               AS first_dangling_turn
+      FROM (
+        SELECT {conv_col}, {order_col}, {role_col},
+               ({role_col} = '{trigger_role}') AND (
+                 _next_resp IS NULL OR _next_resp - {order_col} > {k}
+               ) AS _dangling
+        FROM (
+          SELECT {conv_col}, {order_col}, {role_col},
+                 MIN(CASE WHEN {role_col} = '{response_role}'
+                          THEN {order_col} END)
+                   OVER (PARTITION BY {conv_col} ORDER BY {order_col} DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS _next_resp
+          FROM {table}))
+      GROUP BY {conv_col})
+    WHERE n_dangling > 0"""
+
+
+# ---------------------------------------------------------------------------
 # streaming CEP — literal sequence patterns over a live transcript stream
 # ---------------------------------------------------------------------------
 
@@ -527,6 +635,175 @@ def stream_cep_match(
             _stream_cep_fn(literal, dict(symbols), idle_timeout_seconds),
             outputStructType=CEP_STREAM_OUTPUT_SCHEMA,
             stateStructType=CEP_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming CEP negation — absence detection with bounded per-conv state
+# ---------------------------------------------------------------------------
+
+ABSENCE_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_triggers", T.LongType()),
+        T.StructField("n_dangling", T.LongType()),
+        T.StructField("first_dangling_turn", T.LongType()),
+    ]
+)
+
+#: open_idx = trigger turn positions still awaiting a response (all
+#: within k turns of the consumed prefix end, so |open_idx| <= k+1);
+#: counters never change once written
+ABSENCE_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_idx", T.LongType()),
+        T.StructField("pend_idx", T.ArrayType(T.LongType())),
+        T.StructField("pend_sym", T.StringType()),
+        T.StructField("open_idx", T.ArrayType(T.LongType())),
+        T.StructField("n_triggers", T.LongType()),
+        T.StructField("n_dangling", T.LongType()),
+        T.StructField("first_dangling", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _stream_absence_fn(
+    trig_sym: str, resp_sym: str, k: int, symbols: dict[str, str],
+    idle_timeout_seconds: int,
+):
+    from vaero_spark.operators.state import _arm_idle_timeout, _pdf_max_us
+
+    def fn(
+        key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle past the horizon = semantic close
+            return
+        if state.exists:
+            (next_idx, pend_idx, pend_sym, open_idx, n_trig, n_dang,
+             first_dang, last_us) = state.get
+            pend = dict(zip(pend_idx or [], pend_sym or ""))
+            open_t = list(open_idx or [])
+        else:
+            next_idx, n_trig, n_dang, first_dang, last_us = 0, 0, 0, -1, 0
+            pend, open_t = {}, []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            last_us = _pdf_max_us(pdf, last_us)
+            idxs = pdf["turn_idx"].to_numpy()
+            keep = idxs >= next_idx
+            syms = pdf["role"][keep].map(symbols).fillna(UNKNOWN_SYMBOL)
+            for i, s in zip(idxs[keep].tolist(), syms.tolist()):
+                if i not in pend:  # first arrival wins; late dups drop
+                    pend[i] = s
+        advanced = False
+        while next_idx in pend:
+            s = pend.pop(next_idx)
+            # settle expired triggers first: the k turns after them are
+            # now fully seen with no response -> dangling, FINAL
+            while open_t and next_idx - open_t[0] > k:
+                t = open_t.pop(0)
+                n_dang += 1
+                if first_dang < 0:
+                    first_dang = t
+            if s == resp_sym:
+                open_t.clear()  # every surviving open trigger is answered
+            if s == trig_sym:
+                n_trig += 1
+                open_t.append(next_idx)
+            next_idx += 1
+            advanced = True
+        if advanced:
+            # fold in the end-of-stream view: open triggers have no
+            # response in the prefix seen so far, so the batch scan of
+            # this prefix counts them dangling (open_t is increasing
+            # and > every settled dangling index, so min folds cheaply)
+            emit_dang = n_dang + len(open_t)
+            emit_first = first_dang if first_dang >= 0 else (
+                open_t[0] if open_t else -1
+            )
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [next_idx],
+                    "n_triggers": [n_trig],
+                    "n_dangling": [emit_dang],
+                    "first_dangling_turn": [emit_first],
+                }
+            )
+        state.update(
+            (
+                next_idx,
+                sorted(pend),
+                "".join(pend[i] for i in sorted(pend)),
+                open_t,
+                n_trig,
+                n_dang,
+                first_dang,
+                last_us,
+            )
+        )
+        _arm_idle_timeout(state, last_us, idle_timeout_seconds)
+
+    return fn
+
+
+def stream_cep_absence(
+    stream: DataFrame,
+    trigger_role: str = "user",
+    response_role: str = "assistant",
+    k: int = 3,
+    watermark: str = "10 minutes",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+    idle_timeout_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """STREAMING absence detection — the live twin of
+    :func:`cep_absence` ("alert when a user turn goes unanswered for k
+    turns"). Negation is the streaming-CEP capability that REQUIRES
+    state + timers: a positive pattern completes on an arriving event,
+    but absence is confirmed only by what does NOT arrive — here by the
+    k-turn count window filling up (turn-count semantics; the idle
+    timeout additionally closes conversations that simply stop).
+
+    Same pending-buffer sequence reassembly as :func:`stream_cep_match`
+    (out-of-order safe, duplicate safe). Per-conversation state holds
+    only OPEN triggers — positions within the last k consumed turns
+    still awaiting a response, so |state| <= k+1 + the disorder gap,
+    never the conversation: a trigger older than k turns settles as
+    dangling (final: its whole window was seen), and a response settles
+    every surviving open trigger as answered (final: they were all
+    within k). Each emission folds the open triggers in as dangling-at-
+    prefix-end, so EVERY emission equals the batch
+    :func:`cep_absence` over the prefix seen so far, and the drained
+    last emission per conversation equals the batch run row for row
+    (conversations with n_dangling = 0 emit too; the gate filters, as
+    the batch side does).
+
+    Emits (conv_id, n_turns, n_triggers, n_dangling,
+    first_dangling_turn) in UPDATE mode whenever the contiguous prefix
+    advances.
+    """
+    if trigger_role == response_role:
+        raise ValueError("trigger and response roles must differ")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    trig_sym = symbols[trigger_role]
+    resp_sym = symbols[response_role]
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _stream_absence_fn(
+                trig_sym, resp_sym, k, dict(symbols), idle_timeout_seconds
+            ),
+            outputStructType=ABSENCE_STREAM_OUTPUT_SCHEMA,
+            stateStructType=ABSENCE_STREAM_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -302,6 +302,131 @@ def multires_rollup(
     return out
 
 
+# ---------------------------------------------------------------------------
+# interval-concurrency occupancy (max simultaneously-open sessions per hour)
+# ---------------------------------------------------------------------------
+
+
+def concurrency_by_hour(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    bucket_ms: int = 60_000,
+    hour_ms: int = 3_600_000,
+) -> DataFrame:
+    """MAX-CONCURRENCY occupancy per hour: how many conversations were
+    simultaneously open at the busiest instant of each hour — the
+    Little's-law load metric behind capacity planning ("how many live
+    sessions must the serving tier hold"). A conversation is open on
+    the inclusive span [min(ts), max(ts)] of its turns.
+
+    Exact maximum, not samples: classic sweep-line (+1 at span start,
+    −1 at span end, running sum) decomposed for scale as a TWO-LEVEL
+    parallel prefix-max — the textbook scan decomposition:
+
+    1. events bucket into minutes; the within-bucket running max is a
+       window PARTITIONED by minute (a hot hour's events spread over 60
+       tasks instead of funnelling one; ``bucket_ms`` is the skew knob),
+    2. the cross-bucket carry is a running sum over ONE ROW PER MINUTE —
+       bounded by the data's time range (a year is 525 600 rows), never
+       by data volume, so the unpartitioned window is safe by
+       construction at any corpus size,
+    3. hour-level max = max over its minutes of (carry-in + within-
+       minute prefix max), where the empty prefix (occupancy at bucket
+       start, before any event) is a candidate via ``greatest(0, ...)``.
+
+    Tie semantics: at one millisecond, starts order before ends (+1
+    before −1), so a conversation starting exactly when another ends
+    counts as overlapping at that instant. Ties among equal deltas are
+    order-independent (each step adds the same ±1).
+
+    Output: (hour_ms BIGINT epoch-millis, n_starts, n_ends, max_open),
+    hours with ≥1 span boundary — pure integer arithmetic.
+    """
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    spans = df.groupBy(conv_col).agg(
+        F.min(ms).alias("start_ms"), F.max(ms).alias("end_ms")
+    )
+    ev = spans.select(F.col("start_ms").alias("ms"), F.lit(1).alias("d")).unionByName(
+        spans.select(F.col("end_ms").alias("ms"), F.lit(-1).alias("d"))
+    )
+    ev = ev.withColumn("minute", F.expr(f"ms DIV {bucket_ms}"))
+    from pyspark.sql import Window
+
+    w_bucket = (
+        Window.partitionBy("minute")
+        .orderBy(F.col("ms"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefixed = ev.withColumn("_pfx", F.sum("d").over(w_bucket))
+    minutes = prefixed.groupBy("minute").agg(
+        F.sum("d").cast("long").alias("sum_d"),
+        F.greatest(F.lit(0).cast("long"), F.max("_pfx").cast("long")).alias("max_pfx"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_starts"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("long").alias("n_ends"),
+    )
+    w_carry = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, -1)
+    carried = minutes.withColumn(
+        "_carry", F.coalesce(F.sum("sum_d").over(w_carry), F.lit(0)).cast("long")
+    )
+    return (
+        carried.groupBy(
+            F.expr(f"(minute * {bucket_ms} DIV {hour_ms}) * {hour_ms}").alias("hour_ms")
+        )
+        .agg(
+            F.sum("n_starts").cast("long").alias("n_starts"),
+            F.sum("n_ends").cast("long").alias("n_ends"),
+            F.max(F.col("_carry") + F.col("max_pfx")).cast("long").alias("max_open"),
+        )
+    )
+
+
+def concurrency_by_hour_sql(
+    table_expr: str,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    bucket_ms: int = 60_000,
+    hour_ms: int = 3_600_000,
+) -> str:
+    """DuckDB twin of :func:`concurrency_by_hour` (caller supplies
+    ``WITH``): the identical two-level sweep. Window/aggregate SUM casts
+    OUTSIDE (HUGEINT rule)."""
+    return f"""
+    cc_spans AS (
+      SELECT {conv_col},
+             MIN(epoch_ms(CAST({ts_col} AS TIMESTAMP))) AS start_ms,
+             MAX(epoch_ms(CAST({ts_col} AS TIMESTAMP))) AS end_ms
+      FROM {table_expr} GROUP BY 1),
+    cc_ev AS (
+      SELECT start_ms AS ms, 1 AS d FROM cc_spans
+      UNION ALL SELECT end_ms, -1 FROM cc_spans),
+    cc_pfx AS (
+      SELECT ms, d, ms // {bucket_ms} AS minute,
+             CAST(SUM(d) OVER (PARTITION BY ms // {bucket_ms}
+                               ORDER BY ms, d DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _pfx
+      FROM cc_ev),
+    cc_min AS (
+      SELECT minute,
+             CAST(SUM(d) AS BIGINT) AS sum_d,
+             greatest(CAST(0 AS BIGINT), CAST(MAX(_pfx) AS BIGINT)) AS max_pfx,
+             CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+             CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+      FROM cc_pfx GROUP BY 1),
+    cc_carry AS (
+      SELECT *,
+             CAST(COALESCE(SUM(sum_d) OVER (ORDER BY minute
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS BIGINT)
+               AS _carry
+      FROM cc_min)
+    SELECT (minute * {bucket_ms} // {hour_ms}) * {hour_ms} AS hour_ms,
+           CAST(SUM(n_starts) AS BIGINT) AS n_starts,
+           CAST(SUM(n_ends) AS BIGINT) AS n_ends,
+           CAST(MAX(_carry + max_pfx) AS BIGINT) AS max_open
+    FROM cc_carry GROUP BY 1"""
+
+
 def multires_rollup_sql(
     table_expr: str, ts_col: str = "ts", levels: tuple[str, ...] = ("minute", "hour", "day")
 ) -> str:
