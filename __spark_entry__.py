@@ -2180,6 +2180,21 @@ def q_stream_absence(spark, sf_dir):
     )
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter semijoin pruning (operators/prune.
+    bloom_semijoin_stats): prefilter the transcript fact table against
+    the PII-conversation key set with a deterministic seeded Bloom
+    bitset (m=4096 so false positives are LIVE at gate scale), then
+    run the exact semijoin on survivors — reports the whole funnel
+    (n_keys, n_fact, n_pass, n_match, fp_bp) in one row; the oracle
+    replays the identical hash arithmetic including the collisions."""
+    from vaero_spark.operators.prune import bloom_semijoin_stats
+
+    tx = load_transcripts(spark, sf_dir)
+    keys = tx.where(F.col("text").contains("@")).select("conv_id")
+    return bloom_semijoin_stats(tx, keys, "conv_id", m_bits=4096)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness harness checks the FIRST
     50 entries. Coverage ROTATES per the standing r4 #2 rule, and this
@@ -2270,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_concurrency": q_w_concurrency,
         "cep_absence": q_cep_absence,
         "stream_absence": q_stream_absence,
+        "bloom_prune": q_bloom_prune,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2465,6 +2481,7 @@ _CLUSTER_STATS_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
            cluster_size * COUNT(*) AS n_docs
     FROM csz GROUP BY cluster_size"""
 from vaero_spark.operators.search import build_postings_sql as _postings_sql
+from vaero_spark.operators.prune import bloom_semijoin_stats_sql as _bloom_sql
 from vaero_spark.operators.search import fingerprint_search_sql as _fpsearch_sql
 from vaero_spark.operators.curate import conversation_quality_sql as _convq_sql
 from vaero_spark.operators.windows import sessionize_sql as _sessionize_sql
@@ -3003,6 +3020,12 @@ def oracle_sql() -> dict[str, str]:
         "cep_absence": f"{_T} {CEP.cep_absence_sql('transcripts')}",
         # drained streaming absence == the batch operator row for row
         "stream_absence": f"{_T} {CEP.cep_absence_sql('transcripts')}",
+        # deterministic bloom funnel: membership-in-inserted-positions
+        # == bit-set-in-bitset, same CW arithmetic, same collisions
+        "bloom_prune": f"""{_T},
+            bl_keysrc AS (SELECT conv_id FROM transcripts
+                          WHERE contains(text, '@')),
+            {_bloom_sql('transcripts', 'bl_keysrc', 'conv_id', m_bits=4096)}""",
         # cross-snapshot near-dup: per-side signatures (same seeded hash
         # family), band join new×ref only, exact Jaccard over the union
         "neardup_cross": f"""WITH newdocs AS (
