@@ -2180,6 +2180,36 @@ def q_stream_absence(spark, sf_dir):
     )
 
 
+def q_cusum_drift(spark, sf_dir):
+    """Two-sided CUSUM drift alarms (operators/analytics.cusum_drift):
+    sustained per-tool hourly rate shifts via the windowed identity
+    S_t = C_t - min(0, running-min C) — the recurrence as two ordinary
+    cumulative windows, densified hour grid so silent hours count as
+    rate-drop evidence; integer-exact in both engines."""
+    from vaero_spark.operators.analytics import cusum_drift
+
+    tools = load_transcripts(spark, sf_dir).where(F.col("tool") != "")
+    return cusum_drift(tools, key_col="tool")
+
+
+UPSAMPLE_WEIGHTS = {"zh": 25_000, "en": 7_500}  # zh x2.5, en x0.75
+UPSAMPLE_DEFAULT = 10_000  # other languages: exactly once
+
+
+def q_corpus_upsample(spark, sf_dir):
+    """Fractional-epoch corpus mixing by REPETITION (operators/
+    transforms.upsample_by_weight): repeat the scarce stratum 2.5x,
+    fractionally keep the dominant one — integer copies always, the
+    fractional copy by a deterministic per-doc hash draw, so the
+    realized (doc, copy_idx) multiset is a pure row function and
+    hash-exact across engines."""
+    return TR.upsample_by_weight(
+        CORPUS.load_documents(spark, sf_dir).select("doc_id", "lang"),
+        UPSAMPLE_WEIGHTS,
+        default_bp=UPSAMPLE_DEFAULT,
+    )
+
+
 def q_bloom_prune(spark, sf_dir):
     """Bloom-filter semijoin pruning (operators/prune.
     bloom_semijoin_stats): prefilter the transcript fact table against
@@ -2286,6 +2316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_absence": q_cep_absence,
         "stream_absence": q_stream_absence,
         "bloom_prune": q_bloom_prune,
+        "corpus_upsample": q_corpus_upsample,
+        "cusum_drift": q_cusum_drift,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2461,6 +2493,9 @@ from vaero_spark.operators.analytics import trending_tokens_sql as _trending_sql
 from vaero_spark.operators.analytics import key_skew_profile_sql as _skew_sql
 from vaero_spark.operators.analytics import conv_turn_stats_sql as _convstats_sql
 
+from vaero_spark.operators.analytics import cusum_drift_sql as _cusum_sql
+
+AN_CUSUM_SQL = _cusum_sql("cd_src", key_col="tool")
 AN_TRENDING_SQL = _trending_sql("transcripts")
 AN_SKEW_SQL = _skew_sql("transcripts", "conv_id")
 AN_CONVSTATS_SQL = _convstats_sql("transcripts")
@@ -3026,6 +3061,16 @@ def oracle_sql() -> dict[str, str]:
             bl_keysrc AS (SELECT conv_id FROM transcripts
                           WHERE contains(text, '@')),
             {_bloom_sql('transcripts', 'bl_keysrc', 'conv_id', m_bits=4096)}""",
+        # integer copies + deterministic fractional draw == Spark's
+        # sequence explode (generate_series(1,0) is empty in DuckDB)
+        "corpus_upsample": TR.upsample_by_weight_sql(
+            "documents", UPSAMPLE_WEIGHTS, default_bp=UPSAMPLE_DEFAULT
+        ),
+        # the CUSUM recurrence as two cumulative windows via
+        # S_t = C_t - min(0, running-min C), densified hour grid
+        "cusum_drift": f"""{_T},
+            cd_src AS (SELECT * FROM transcripts WHERE tool != ''),
+            {AN_CUSUM_SQL}""",
         # cross-snapshot near-dup: per-side signatures (same seeded hash
         # family), band join new×ref only, exact Jaccard over the union
         "neardup_cross": f"""WITH newdocs AS (

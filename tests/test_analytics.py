@@ -392,3 +392,38 @@ def test_response_latency_adjacent_pairs_only(spark):
     )
     # conversations with no user->assistant adjacency emit no row
     assert set(got) == {"c1", "c2"}
+
+
+def test_cusum_drift_equals_naive_recurrence(spark):
+    """The windowed identity S_t = C_t - min(0, running-min C) must
+    reproduce the classic max(0, S+dev) recurrence exactly, on a series
+    with an injected upward shift and a silent (zero-filled) stretch."""
+    import datetime
+
+    from vaero_spark.operators.analytics import cusum_drift
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # tool 'a': 3/hour for 12h, then 7/hour for 6h (drift up), then a
+    # 10-hour silence (drift down evidence), then 3/hour again
+    per_hour = [3] * 12 + [7] * 6 + [0] * 10 + [3] * 4
+    for h, n in enumerate(per_hour):
+        for j in range(n):
+            rows.append(("a", base + datetime.timedelta(hours=h, minutes=j)))
+    df = spark.createDataFrame(rows, "tool string, ts timestamp")
+    got = {
+        r.hour_idx: (r.n_events, r.ref, r.s_up, r.s_down, r.up_alarm, r.down_alarm)
+        for r in cusum_drift(df, key_col="tool", slack=1, threshold=8).collect()
+    }
+    h0 = int(base.timestamp()) // 3600
+    # the densified grid spans first..last event hour
+    xs = per_hour[:-1] + [per_hour[-1]]
+    total, n_hours = sum(xs), len(xs)
+    ref = total // n_hours
+    s_up = s_dn = 0
+    for h, x in enumerate(xs):
+        s_up = max(0, s_up + (x - ref - 1))
+        s_dn = max(0, s_dn + (ref - x - 1))
+        assert got[h0 + h] == (x, ref, s_up, s_dn, int(s_up > 8), int(s_dn > 8)), h
+    assert any(v[4] for v in got.values()), "upward drift never alarmed"
+    assert any(v[5] for v in got.values()), "downward drift never alarmed"

@@ -1021,3 +1021,37 @@ def test_build_postings_df_exact_and_postings_capped(spark):
     df2 = spark.createDataFrame([(1, "dup dup dup")], "doc_id long, text string")
     out2 = build_postings(df2, k=3).collect()
     assert [(r.token, r.df, r.doc_id) for r in out2] == [("dup", 1, 1)]
+
+
+def test_upsample_by_weight_copies_and_drops(spark):
+    """Integer parts always repeat, zero weight drops the stratum, the
+    fractional copy follows the deterministic per-doc hash draw, and
+    copy_idx enumerates 1..n per doc."""
+    import hashlib
+
+    from vaero_spark.operators.transforms import upsample_by_weight
+    from vaero_spark.functions.text import MINHASH_P  # noqa: F401 (idiom anchor)
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = upsample_by_weight(
+        df, {"a": 25_000, "b": 0}, default_bp=5_000
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r.doc_id, r.lang), []).append(r.copy_idx)
+
+    def draw(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:10], 16) % 10_000
+
+    for i, lang in rows:
+        w = {"a": 25_000, "b": 0}.get(lang, 5_000)
+        n = w // 10_000 + (1 if draw(i) < w % 10_000 else 0)
+        if n == 0:
+            assert (i, lang) not in got, (i, lang)
+        else:
+            assert sorted(got[(i, lang)]) == list(range(1, n + 1)), (i, lang)
+    # stratum b fully dropped; stratum a repeated 2-3x
+    assert not any(lang == "b" for _, lang in got)
+    a_counts = [len(v) for (i, lang), v in got.items() if lang == "a"]
+    assert set(a_counts) <= {2, 3} and a_counts

@@ -1134,3 +1134,143 @@ def stream_windowed_token_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("win_start"), "token", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (Page 1954) — sustained rate-shift alarms
+# ---------------------------------------------------------------------------
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_col: str = "tool",
+    ts_col: str = "ts",
+    slack: int = 1,
+    threshold: int = 8,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) over per-key hourly
+    event counts — the SUSTAINED-shift complement of :func:`rate_spikes`
+    (a spike is one loud bucket; drift is many quiet ones: a tool whose
+    call rate creeps 20% up never trips a 2x spike rule but accumulates
+    in a CUSUM within hours). The classic recurrences
+
+        S+_t = max(0, S+_{t-1} + (x_t - ref - slack))
+        S-_t = max(0, S-_{t-1} + (ref - x_t - slack))
+
+    are NOT window functions, but the textbook identity
+    ``S_t = C_t - min(0, min_{i<=t} C_i)`` (C = plain cumsum of the
+    deviations) turns each into two ordinary cumulative windows —
+    integer-exact in any engine, no recursion, no iteration.
+
+    The hour grid is DENSIFIED per key (every hour between the key's
+    first and last event, zero-filled): silent hours are evidence of a
+    rate DROP, which a sparse event-hour series would never see. The
+    reference level ``ref`` is the key's own floor-mean hourly count
+    over that grid; ``slack`` is the classic allowance k (drift must
+    exceed it to accumulate) and ``threshold`` the alarm level h.
+
+    Output: (key, hour_idx, n_events, ref, s_up, s_down, up_alarm,
+    down_alarm) for every key x grid hour. 100 TB shape: ONE corpus-
+    sized shuffle (the hourly groupBy, map-side combined); everything
+    after runs on key x hour rows — bounded by time range x key
+    cardinality, never data volume; the explode fan-out is the grid
+    width; windows PARTITION by key.
+    """
+    if slack < 0 or threshold < 0:
+        raise ValueError("slack and threshold must be >= 0")
+    hour = F.expr(
+        f"timestampdiff(HOUR, timestamp'1970-01-01 00:00:00', {ts_col})"
+    ).cast("long")
+    counts = df.groupBy(F.col(key_col).alias("key"), hour.alias("hour_idx")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = (
+        counts.groupBy("key")
+        .agg(
+            F.min("hour_idx").alias("h0"),
+            F.max("hour_idx").alias("h1"),
+            F.sum("n").cast("long").alias("total"),
+        )
+        .select(
+            "key",
+            F.expr("total DIV (h1 - h0 + 1)").alias("ref"),
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_idx"),
+        )
+    )
+    dense = grid.join(counts, ["key", "hour_idx"], "left").select(
+        "key", "hour_idx", "ref", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events")
+    )
+    w = Window.partitionBy("key").orderBy("hour_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = dense.withColumn(
+        "_c_up", F.sum(F.col("n_events") - F.col("ref") - F.lit(slack)).over(w)
+    ).withColumn(
+        "_c_dn", F.sum(F.col("ref") - F.col("n_events") - F.lit(slack)).over(w)
+    )
+    s = c.withColumn(
+        "s_up", (F.col("_c_up") - F.least(F.lit(0), F.min("_c_up").over(w))).cast("long")
+    ).withColumn(
+        "s_down", (F.col("_c_dn") - F.least(F.lit(0), F.min("_c_dn").over(w))).cast("long")
+    )
+    return s.select(
+        "key",
+        "hour_idx",
+        "n_events",
+        "ref",
+        "s_up",
+        "s_down",
+        F.when(F.col("s_up") > threshold, 1).otherwise(0).cast("long").alias("up_alarm"),
+        F.when(F.col("s_down") > threshold, 1).otherwise(0).cast("long").alias("down_alarm"),
+    )
+
+
+def cusum_drift_sql(
+    table_expr: str,
+    key_col: str = "tool",
+    ts_col: str = "ts",
+    slack: int = 1,
+    threshold: int = 8,
+) -> str:
+    """DuckDB twin of :func:`cusum_drift` (caller supplies ``WITH``).
+    Window SUM/MIN casts OUTSIDE (HUGEINT rule)."""
+    return f"""
+    cd_counts AS (
+      SELECT {key_col} AS key,
+             CAST(datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                           CAST({ts_col} AS TIMESTAMP)) AS BIGINT) AS hour_idx,
+             COUNT(*) AS n
+      FROM {table_expr} GROUP BY 1, 2),
+    cd_grid AS (
+      SELECT key,
+             CAST(SUM(n) AS BIGINT) // (MAX(hour_idx) - MIN(hour_idx) + 1)
+               AS ref,
+             unnest(generate_series(MIN(hour_idx), MAX(hour_idx))) AS hour_idx
+      FROM cd_counts GROUP BY key),
+    cd_dense AS (
+      SELECT g.key, g.hour_idx, g.ref,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+      FROM cd_grid g LEFT JOIN cd_counts c
+        ON g.key = c.key AND g.hour_idx = c.hour_idx),
+    cd_c AS (
+      SELECT *,
+             CAST(SUM(n_events - ref - {slack}) OVER w AS BIGINT) AS _c_up,
+             CAST(SUM(ref - n_events - {slack}) OVER w AS BIGINT) AS _c_dn
+      FROM cd_dense
+      WINDOW w AS (PARTITION BY key ORDER BY hour_idx
+                   ROWS UNBOUNDED PRECEDING)),
+    cd_s AS (
+      SELECT key, hour_idx, n_events, ref,
+             _c_up - least(CAST(0 AS BIGINT),
+                           CAST(MIN(_c_up) OVER w AS BIGINT)) AS s_up,
+             _c_dn - least(CAST(0 AS BIGINT),
+                           CAST(MIN(_c_dn) OVER w AS BIGINT)) AS s_down
+      FROM cd_c
+      WINDOW w AS (PARTITION BY key ORDER BY hour_idx
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT key, hour_idx, n_events, ref, s_up, s_down,
+           CAST(CASE WHEN s_up > {threshold} THEN 1 ELSE 0 END AS BIGINT)
+             AS up_alarm,
+           CAST(CASE WHEN s_down > {threshold} THEN 1 ELSE 0 END AS BIGINT)
+             AS down_alarm
+    FROM cd_s"""

@@ -254,6 +254,83 @@ def sample_stratified_sql(
     )
 
 
+def upsample_by_weight(
+    df: DataFrame,
+    weights_bp: dict[str, int],
+    strata_col: str = "lang",
+    key: str = "doc_id",
+    default_bp: int = 10_000,
+) -> DataFrame:
+    """FRACTIONAL-EPOCH corpus mixing by REPETITION — the other half of
+    mixture realization: :func:`sample_stratified` only DOWN-samples,
+    but pretraining mixes routinely repeat scarce high-quality strata
+    (books x2.5, wiki x3) while fractionally keeping the rest. Each
+    document gets ``weight_bp/10000`` copies: the integer part always,
+    plus one more iff a deterministic per-document hash draw falls
+    below the fractional part — so a stratum's expected copy total is
+    exactly ``n_docs * weight_bp / 10000`` and the REALIZED selection
+    is a pure function of the rows (reproducible across engines,
+    partitionings, cluster sizes). Weights below 10000 degrade to plain
+    fractional sampling; 0 drops the stratum.
+
+    Output: one row per (doc, copy): (key, stratum, copy_idx),
+    copy_idx 1-based — the epoch index downstream shuffling interleaves.
+
+    100 TB shape: a narrow projection + a bounded explode (fan-out =
+    the mixture weight, a small constant); no shuffle, no state. The
+    explode multiplies ROW COUNT, not bytes read — payload columns
+    should be joined back after packing, not carried through the
+    repeat.
+    """
+    from vaero_spark.functions.text import _hex_slice_to_long
+
+    for s, w in weights_bp.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    if default_bp < 0:
+        raise ValueError("default_bp must be >= 0")
+    wbp = F.lit(default_bp).cast("long")
+    for s, w in sorted(weights_bp.items()):
+        wbp = F.when(F.col(strata_col) == s, F.lit(w).cast("long")).otherwise(wbp)
+    draw = F.pmod(_hex_slice_to_long(F.md5(F.col(key).cast("string"))), F.lit(10_000))
+    n = (wbp / F.lit(10_000)).cast("long") + F.when(
+        draw < F.pmod(wbp, F.lit(10_000)), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    copies = F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return df.select(
+        F.col(key), F.col(strata_col), F.explode(copies).alias("copy_idx")
+    )
+
+
+def upsample_by_weight_sql(
+    table: str,
+    weights_bp: dict[str, int],
+    strata_col: str = "lang",
+    key: str = "doc_id",
+    default_bp: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`upsample_by_weight` (standalone SELECT):
+    ``generate_series(1, 0)`` is empty in DuckDB, so no guard needed."""
+    from vaero_spark.functions.text import hex_slice_to_long_sql
+
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {w}" for s, w in sorted(weights_bp.items())
+    )
+    wbp = f"(CASE {whens} ELSE {default_bp} END)"
+    draw = f"({hex_slice_to_long_sql(f'md5(CAST({key} AS VARCHAR))')} % 10000)"
+    return f"""
+    SELECT {key}, {strata_col},
+           unnest(generate_series(1, n_copies)) AS copy_idx
+    FROM (
+      SELECT {key}, {strata_col},
+             CAST({wbp} // 10000
+                  + CASE WHEN {draw} < {wbp} % 10000 THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_copies
+      FROM {table})"""
+
+
 # ---------------------------------------------------------------------------
 # skew-proof per-group top-k (two-phase salted map-side top-k)
 # ---------------------------------------------------------------------------
