@@ -259,6 +259,30 @@ CHECKS = {
         ["Window", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     ),
+    # CEP negation: ONE conv-partitioned window + ONE conv groupBy —
+    # join-free; a window partitioned by nothing would be a global sort
+    "cep_absence": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # occupancy sweep: the within-bucket prefix runs PARTITIONED BY
+    # minute; the only unpartitioned window is the carry scan over
+    # one-row-per-minute aggregates (time-range bounded by design)
+    "w_concurrency": (
+        ["windowspecdefinition(minute#"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # bloom prune: the probe is a narrow projection vs the bitset
+    # literal — the ONLY join is the exact residual semijoin
+    "bloom_prune": (["LeftSemi"], ["CartesianProduct", "SortMergeJoin"]),
+    # upsample: projection + bounded explode ("Generate"), shuffle-free
+    "corpus_upsample": (["Generate"], ["Exchange", "CartesianProduct"]),
+    # CUSUM: one hourly groupBy; grid join + windows run on key x hour
+    # rows; windows PARTITION by key
+    "cusum_drift": (
+        ["HashAggregate", "windowspecdefinition(key#"],
+        ["CartesianProduct"],
+    ),
 }
 
 
@@ -308,7 +332,10 @@ def main() -> None:
     # (s3_ingest: the sink PUT + poller spool run at build time — the
     # driver-side-subprocess ingestion role; the distributed path is the
     # spool scan, which IS plan-audited)
-    ACTION_EXEMPT = {"api_paginated", "s3_ingest"}
+    # bloom_prune: the bitset BUILD collects <= m/63 aggregate rows to
+    # the driver (model-sized, the IVF-centroid precedent) — exempt;
+    # the probe plan, where the corpus lives, is still audited
+    ACTION_EXEMPT = {"api_paginated", "s3_ingest", "bloom_prune"}
 
     for name, (must, must_not) in CHECKS.items():
         guard = contextlib.nullcontext() if name in ACTION_EXEMPT else no_actions(name)
