@@ -2180,6 +2180,64 @@ def q_stream_absence(spark, sf_dir):
     )
 
 
+def q_stream_outer_join(spark, sf_dir):
+    """Streaming LEFT OUTER stream-stream join (operators/joins.
+    streaming_user_tool_join(how='left_outer')): matches emit eagerly,
+    but an unmatched user turn emits (null tool columns) only when the
+    watermark passes user_ts + max_lag and the state store evicts it —
+    the hardest streaming-join semantics. Drain: one-batch backlog
+    (nothing late) + a user+tool sentinel pair at max_ts + 60 days
+    (both per-side watermark nodes sit after the role filters, so the
+    sentinel must survive both) to advance the watermark and flush the
+    tail. Drained == the batch LEFT JOIN bit for bit."""
+    import datetime
+    import tempfile
+
+    from vaero_spark.operators.joins import streaming_user_tool_join
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    t = load_transcripts(spark, sf_dir)
+    max_ts = t.agg(F.max("ts")).first()[0]
+    work = tempfile.mkdtemp(prefix="vaero_q_soj_")
+    inp = f"{work}/in"
+    t.write.parquet(inp)
+    src = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(inp)  # one batch
+    out = streaming_user_tool_join(
+        src, watermark="1 hour", max_lag="4 hours", how="left_outer"
+    )
+    sink = MemorySink()
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()  # backlog: matches emit, unmatched held
+    sent_ts = max_ts + datetime.timedelta(days=60)
+    sentinel = spark.createDataFrame(
+        [
+            ("__sentinel__", 0, "user", "", "", sent_ts),
+            ("__sentinel__", 1, "tool", "", "calc", sent_ts),
+        ],
+        TRANSCRIPTS_SCHEMA,
+    )
+    sentinel.write.mode("append").parquet(inp)
+    q.processAllAvailable()  # watermark jumps; evicted rows emit nulls
+    q.stop()
+    rows = [
+        (r.conv_id, r.user_turn, r.user_ts, r.tool_turn, r.tool_name, r.tool_ts)
+        for _, batch in sink.batches
+        for r in batch
+        if not r.conv_id.startswith("__sentinel")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, user_turn int, user_ts timestamp, "
+        "tool_turn int, tool_name string, tool_ts timestamp",
+    )
+
+
 def q_cusum_drift(spark, sf_dir):
     """Two-sided CUSUM drift alarms (operators/analytics.cusum_drift):
     sustained per-tool hourly rate shifts via the windowed identity
@@ -2318,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "corpus_upsample": q_corpus_upsample,
         "cusum_drift": q_cusum_drift,
+        "stream_outer_join": q_stream_outer_join,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -3071,6 +3130,16 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": f"""{_T},
             cd_src AS (SELECT * FROM transcripts WHERE tool != ''),
             {AN_CUSUM_SQL}""",
+        # drained streaming left-outer == the batch LEFT JOIN (matches
+        # eager, unmatched users emitted at state eviction)
+        "stream_outer_join": f"""{_T}
+            SELECT u.conv_id, u.turn_idx AS user_turn, u.ts AS user_ts,
+                   t.turn_idx AS tool_turn, t.tool AS tool_name,
+                   t.ts AS tool_ts
+            FROM (SELECT * FROM transcripts WHERE role = 'user') u
+            LEFT JOIN (SELECT * FROM transcripts WHERE role = 'tool') t
+              ON u.conv_id = t.conv_id
+             AND t.ts > u.ts AND t.ts <= u.ts + INTERVAL '4 hours'""",
         # cross-snapshot near-dup: per-side signatures (same seeded hash
         # family), band join new×ref only, exact Jaccard over the union
         "neardup_cross": f"""WITH newdocs AS (

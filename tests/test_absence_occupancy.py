@@ -254,3 +254,60 @@ def test_concurrency_by_hour_bruteforce(spark):
         assert got[h][0] == m, h
     assert sum(v[1] for v in got.values()) == 300
     assert sum(v[2] for v in got.values()) == 300
+
+
+def test_stream_outer_join_drain_equals_batch_left_join(spark, tmp_path):
+    """Left-outer stream-stream join: matches emit eagerly; unmatched
+    user turns emit with null tool columns at state eviction (watermark
+    past user_ts + lag, advanced by a both-sides sentinel). Drained ==
+    the batch left join."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from vaero_spark.operators.joins import streaming_user_tool_join, user_tool_join
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+    from vaero_spark.testing.fixtures import write_transcripts_parquet
+
+    src_dir = str(tmp_path / "src")
+    write_transcripts_parquet(
+        src_dir, n_files=1, n_turns=600, n_convs=20, seed=3, role_mode="hash"
+    )
+    batch = spark.read.parquet(src_dir)
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(src_dir)
+    out = streaming_user_tool_join(
+        stream, watermark="1 hour", max_lag="5 minutes", how="left_outer"
+    )
+    sink = MemorySink()
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    sentinel = spark.createDataFrame(
+        [
+            ("__sentinel__", 0, "user", "", "", max_ts + datetime.timedelta(days=1)),
+            ("__sentinel__", 1, "tool", "", "calc", max_ts + datetime.timedelta(days=1)),
+        ],
+        TRANSCRIPTS_SCHEMA,
+    )
+    sentinel.write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.conv_id, r.user_turn, r.tool_turn, r.tool_name)
+        for _, b in sink.batches
+        for r in b
+        if not r.conv_id.startswith("__sentinel")
+    )
+    want = sorted(
+        (r.conv_id, r.user_turn, r.tool_turn, r.tool_name)
+        for r in user_tool_join(batch, max_lag="5 minutes", how="left_outer").collect()
+    )
+    assert got == want
+    assert any(t[2] is None for t in want), "fixture produced no unmatched users"
+    assert any(t[2] is not None for t in want), "fixture produced no matches"

@@ -20,13 +20,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def user_tool_join(df: DataFrame, max_lag: str = "5 minutes") -> DataFrame:
+def user_tool_join(
+    df: DataFrame, max_lag: str = "5 minutes", how: str = "inner"
+) -> DataFrame:
     """Pair each user turn with tool turns in (user.ts, user.ts + max_lag]
     of the same conversation.
 
     Output: conv_id, user_turn, user_ts, tool_turn, tool_name, tool_ts —
     sorted downstream by (conv_id, user_turn, tool_turn) for the
-    stable-ordering invariant.
+    stable-ordering invariant. ``how="left_outer"`` keeps user turns
+    with no tool activity in range (null tool columns) — the coverage
+    view ("which user turns triggered nothing").
     Works identically on a batch DataFrame or two watermarked streams.
     """
     users = df.filter(F.col("role") == "user").select(
@@ -45,18 +49,32 @@ def user_tool_join(df: DataFrame, max_lag: str = "5 minutes") -> DataFrame:
         & (tools.tool_ts > users.user_ts)
         & (tools.tool_ts <= users.user_ts + F.expr(f"INTERVAL {max_lag}"))
     )
-    return users.join(tools, cond, "inner").select(
+    return users.join(tools, cond, how).select(
         "conv_id", "user_turn", "user_ts", "tool_turn", "tool_name", "tool_ts"
     )
 
 
 def streaming_user_tool_join(
-    stream: DataFrame, watermark: str = "10 minutes", max_lag: str = "5 minutes"
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming variant: watermark both sides so the join state store
     evicts expired rows. The watermark is the principled version of the
     reference's Okta cursor late-drop (``/root/reference/integrations/
-    python/source_okta.py:91-113``)."""
+    python/source_okta.py:91-113``).
+
+    ``how="left_outer"`` is the hard streaming-join semantics: a match
+    emits eagerly, but an UNMATCHED user turn can only emit once no
+    future tool turn could still pair with it — i.e. when the watermark
+    passes ``user_ts + max_lag`` and the state store evicts the row,
+    emitting it with null tool columns. Spark delivers those null rows
+    in the micro-batch AFTER the watermark advance (eviction runs at
+    batch end), so a drain needs a watermark-advancing sentinel ON BOTH
+    SIDES (the per-side watermark nodes sit after the role filters) and
+    one further batch; the gate query does exactly this. Drained ==
+    the batch left join, bit for bit."""
     users = (
         stream.filter(F.col("role") == "user")
         .select("conv_id", F.col("turn_idx").alias("user_turn"), F.col("ts").alias("user_ts"))
@@ -77,7 +95,7 @@ def streaming_user_tool_join(
         & (tools.tool_ts > users.user_ts)
         & (tools.tool_ts <= users.user_ts + F.expr(f"INTERVAL {max_lag}"))
     )
-    return users.join(tools, cond, "inner").select(
+    return users.join(tools, cond, how).select(
         "conv_id", "user_turn", "user_ts", "tool_turn", "tool_name", "tool_ts"
     )
 
