@@ -2180,6 +2180,26 @@ def q_stream_absence(spark, sf_dir):
     )
 
 
+def q_corpus_bottomk(spark, sf_dir):
+    """Per-stratum FIXED-SIZE deterministic sample (operators/
+    transforms.sample_bottomk): the 10 smallest-md5 docs per language —
+    the bottom-k sketch (mergeable, size-pinned, pure row function);
+    skew-proof two-phase salted build, window-form oracle proves
+    row-identity."""
+    return TR.sample_bottomk(
+        CORPUS.load_documents(spark, sf_dir).select("doc_id", "lang"), k=10
+    )
+
+
+def q_cep_within(spark, sf_dir):
+    """Time-bounded CEP (operators/cep.cep_within, the Flink-CEP
+    within() clause): 'ttu' completing inside six hours — event time in
+    the match predicate, which the symbol-regex cannot express; sliding
+    per-start counts via a conv-partitioned lead chain, ms-integer
+    exact."""
+    return CEP.cep_within(load_transcripts(spark, sf_dir), "ttu", 21600)
+
+
 def q_stream_outer_join(spark, sf_dir):
     """Streaming LEFT OUTER stream-stream join (operators/joins.
     streaming_user_tool_join(how='left_outer')): matches emit eagerly,
@@ -2377,6 +2397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_upsample": q_corpus_upsample,
         "cusum_drift": q_cusum_drift,
         "stream_outer_join": q_stream_outer_join,
+        "corpus_bottomk": q_corpus_bottomk,
+        "cep_within": q_cep_within,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -3130,6 +3152,10 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": f"""{_T},
             cd_src AS (SELECT * FROM transcripts WHERE tool != ''),
             {AN_CUSUM_SQL}""",
+        # bottom-k sketch: the window form IS the salted-plan identity
+        "corpus_bottomk": TR.sample_bottomk_sql("documents", k=10),
+        # lead-chain within-clause: event time inside the match predicate
+        "cep_within": f"{_T} {CEP.cep_within_sql('transcripts', 'ttu', 21600)}",
         # drained streaming left-outer == the batch LEFT JOIN (matches
         # eager, unmatched users emitted at state eviction)
         "stream_outer_join": f"""{_T}

@@ -301,3 +301,42 @@ def test_cep_match_rejects_unsafe_patterns(spark):
         cep_match(df, "ua", symbols={"user": "u", "assistant": "u"})
     with pytest.raises(ValueError):
         cep_match(df, "ua", symbols={"user": "??"})
+
+
+def test_cep_within_time_bound_excludes_slow_completions(spark):
+    """The within-clause: same role sequence, one completing inside the
+    span and one straddling it — only the fast one counts; sliding
+    (overlapping) starts all count. Brute-forced in Python."""
+    import datetime
+
+    from vaero_spark.operators.cep import cep_within
+
+    base = datetime.datetime(2024, 1, 1)
+    # conv A: t t u inside 10 min => hit at 0
+    # conv B: t t u with 2 h before the u => no hit at span 3600
+    # conv C: t t t u tight => 'ttu' hits only at 1; 'tt' hits at 0
+    # AND 1 (sliding starts overlap)
+    rows = []
+    for conv, seq, gaps in [
+        ("A", "ttu", [0, 60, 120]),
+        ("B", "ttu", [0, 60, 7800]),
+        ("C", "tttu", [0, 30, 60, 90]),
+    ]:
+        roles = {"t": "tool", "u": "user"}
+        for i, (s, g) in enumerate(zip(seq, gaps)):
+            rows.append((conv, i, roles[s], base + datetime.timedelta(seconds=g)))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, ts timestamp")
+    got = {
+        r.conv_id: (r.n_turns, r.n_within, r.first_within_turn)
+        for r in cep_within(df, "ttu", 3600).collect()
+    }
+    assert got == {"A": (3, 1, 0), "C": (4, 1, 1)}
+    got_tt = {
+        r.conv_id: (r.n_within, r.first_within_turn)
+        for r in cep_within(df, "tt", 3600).collect()
+    }
+    assert got_tt == {"A": (1, 0), "B": (1, 0), "C": (2, 0)}
+    with pytest.raises(ValueError):
+        cep_within(df, "t", 3600)  # spans need two ends
+    with pytest.raises(ValueError):
+        cep_within(df, "ttu", -1)

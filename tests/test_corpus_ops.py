@@ -1055,3 +1055,25 @@ def test_upsample_by_weight_copies_and_drops(spark):
     assert not any(lang == "b" for _, lang in got)
     a_counts = [len(v) for (i, lang), v in got.items() if lang == "a"]
     assert set(a_counts) <= {2, 3} and a_counts
+
+
+def test_sample_bottomk_equals_window_bruteforce(spark):
+    """Fixed-size per-stratum bottom-k by md5: equals the sorted brute
+    force, size-pinned, merge-invariant across partitionings."""
+    import hashlib
+
+    from vaero_spark.operators.transforms import sample_bottomk
+
+    rows = [(i, ["x", "y"][i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    for reparted in (df, df.repartition(13)):
+        got = {
+            (r.lang, r.rank): (r.doc_id, r.sample_hash)
+            for r in sample_bottomk(reparted, k=7, n_salts=4).collect()
+        }
+        assert len(got) == 14
+        for lang in ("x", "y"):
+            ids = [i for i, l in rows if l == lang]
+            want = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids)[:7]
+            for rank, (h, i) in enumerate(want, 1):
+                assert got[(lang, rank)] == (i, h), (lang, rank)

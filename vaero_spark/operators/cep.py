@@ -256,6 +256,113 @@ def cep_absence_sql(
 
 
 # ---------------------------------------------------------------------------
+# time-bounded CEP — pattern must complete within a wall-clock span
+# ---------------------------------------------------------------------------
+
+
+def cep_within(
+    df: DataFrame,
+    literal: str = "ttu",
+    max_span_s: int = 3600,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+) -> DataFrame:
+    """TIME-BOUNDED CEP — the Flink-CEP ``within()`` clause: a literal
+    role sequence counts only if it COMPLETES within ``max_span_s``
+    seconds of its first event ("two tool calls then a user interrupt,
+    all inside an hour"). Event time enters the match predicate itself,
+    which the symbol-string regex of :func:`cep_match` cannot express.
+
+    Shape: a lead-chain window PARTITIONED by conversation — position i
+    matches iff the next ``len(literal)-1`` roles spell the literal and
+    the last one's timestamp is within the span. Counts are SLIDING
+    (every qualifying start position; overlaps allowed) — the within-
+    clause question is per-start, unlike :func:`cep_match`'s
+    non-overlapping scan; documented semantic difference.
+
+    Output: (conv_id, n_turns, n_within, first_within_turn),
+    conversations with >= 1 time-qualified match; millisecond-integer
+    span arithmetic.
+    """
+    _check_pattern(literal, symbols)
+    if len(literal) < 2:
+        raise ValueError("within-patterns need >= 2 symbols (a span needs two ends)")
+    if not set(literal) <= set(symbols.values()):
+        raise ValueError(f"literal {literal!r} uses symbols outside the alphabet")
+    if max_span_s < 0:
+        raise ValueError("max_span_s must be >= 0")
+    from pyspark.sql import Window
+
+    L = len(literal)
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    sym = _symbol_expr(role_col, symbols)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    hit = sym == literal[0]
+    for j in range(1, L):
+        hit = hit & (F.lead(sym, j).over(w) == literal[j])
+    hit = hit & (
+        F.lead(ms, L - 1).over(w) - ms <= F.lit(max_span_s * 1000).cast("long")
+    )
+    return (
+        df.withColumn("_hit", hit)
+        .groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("bigint").alias("n_within"),
+            F.min(F.when(F.col("_hit"), F.col(order_col))).cast("bigint").alias(
+                "first_within_turn"
+            ),
+        )
+        .filter(F.col("n_within") > 0)
+    )
+
+
+def cep_within_sql(
+    table: str,
+    literal: str = "ttu",
+    max_span_s: int = 3600,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+) -> str:
+    """DuckDB twin of :func:`cep_within` (standalone SELECT): the same
+    lead chain. SUM casts OUTSIDE (HUGEINT rule)."""
+    _check_pattern(literal, symbols)
+    whens = " ".join(
+        f"WHEN '{role}' THEN '{sym}'" for role, sym in sorted(symbols.items())
+    )
+    sym_case = f"CASE {role_col} {whens} ELSE '{UNKNOWN_SYMBOL}' END"
+    L = len(literal)
+    conds = [f"_s0 = '{literal[0]}'"] + [
+        f"lead(_s0, {j}) OVER w = '{literal[j]}'" for j in range(1, L)
+    ]
+    conds.append(f"lead(_ms, {L - 1}) OVER w - _ms <= {max_span_s * 1000}")
+    return f"""
+    SELECT {conv_col}, n_turns, n_within, first_within_turn FROM (
+      SELECT {conv_col},
+             COUNT(*) AS n_turns,
+             CAST(SUM(CASE WHEN _hit THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+             CAST(MIN(CASE WHEN _hit THEN {order_col} END) AS BIGINT)
+               AS first_within_turn
+      FROM (
+        SELECT {conv_col}, {order_col},
+               COALESCE({' AND '.join(conds)}, FALSE) AS _hit
+        FROM (
+          SELECT {conv_col}, {order_col},
+                 {sym_case} AS _s0,
+                 epoch_ms(CAST({ts_col} AS TIMESTAMP)) AS _ms
+          FROM {table})
+        WINDOW w AS (PARTITION BY {conv_col} ORDER BY {order_col}))
+      GROUP BY {conv_col})
+    WHERE n_within > 0"""
+
+
+# ---------------------------------------------------------------------------
 # streaming CEP — literal sequence patterns over a live transcript stream
 # ---------------------------------------------------------------------------
 

@@ -336,6 +336,83 @@ def upsample_by_weight_sql(
 # ---------------------------------------------------------------------------
 
 
+def sample_bottomk(
+    df: DataFrame,
+    k: int = 10,
+    strata_col: str = "lang",
+    key: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-stratum FIXED-SIZE deterministic sample: the ``k`` rows with
+    the smallest ``md5(key)`` per stratum — the BOTTOM-K SKETCH
+    (Cohen & Kaplan 2007). Where :func:`sample_stratified` keeps a
+    RATE (output size scales with the stratum), bottom-k pins the
+    output SIZE — the "exactly 10 inspection docs per language" shape
+    every eyeball-QA and debugging workflow needs — while staying a
+    pure function of the rows: reproducible across engines,
+    partitionings, cluster sizes, and MERGEABLE (the bottom-k of a
+    union is computable from per-part bottom-ks, which is what makes
+    it a sketch and not just a sort; the same structure estimates
+    distinct counts and Jaccard overlaps).
+
+    Same skew-proof two-phase salted shape as :func:`group_topk` — no
+    per-stratum window sort; every partial state is capped at k
+    structs, map-side combined.
+
+    Output: (stratum, rank, key, sample_hash) with rank 1..k by
+    (md5 ASC, key ASC).
+    """
+    if k < 1 or n_salts < 1:
+        raise ValueError("k and n_salts must be >= 1")
+    item = F.struct(
+        F.md5(F.col(key).cast("string")).alias("_h"), F.col(key).alias("_id")
+    )
+    botk = lambda c: F.slice(F.sort_array(c), 1, k)  # noqa: E731
+    phase1 = (
+        df.select(
+            F.col(strata_col),
+            F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)).alias("_salt"),
+            item.alias("_it"),
+        )
+        .groupBy(strata_col, "_salt")
+        .agg(botk(F.collect_list("_it")).alias("_bot"))
+    )
+    merged = (
+        phase1.select(strata_col, F.explode("_bot").alias("_it"))
+        .groupBy(strata_col)
+        .agg(botk(F.collect_list("_it")).alias("_bot"))
+    )
+    return merged.select(
+        strata_col, F.posexplode("_bot").alias("_pos", "_it")
+    ).select(
+        strata_col,
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+        F.col("_it._id").alias(key),
+        F.col("_it._h").alias("sample_hash"),
+    )
+
+
+def sample_bottomk_sql(
+    table: str,
+    k: int = 10,
+    strata_col: str = "lang",
+    key: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`sample_bottomk` — the window form (the
+    salted plan is provably row-identical; the twin IS the equivalence
+    check)."""
+    return f"""
+    SELECT {strata_col}, CAST(rank AS INTEGER) AS rank, {key}, sample_hash
+    FROM (
+      SELECT {strata_col}, {key},
+             md5(CAST({key} AS VARCHAR)) AS sample_hash,
+             row_number() OVER (PARTITION BY {strata_col}
+                                ORDER BY md5(CAST({key} AS VARCHAR)), {key})
+               AS rank
+      FROM {table})
+    WHERE rank <= {k}"""
+
+
 def group_topk(
     df: DataFrame,
     group_col: str,
