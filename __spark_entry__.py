@@ -2180,6 +2180,83 @@ def q_stream_absence(spark, sf_dir):
     )
 
 
+def q_stream_session_native(spark, sf_dir):
+    """JVM-NATIVE streaming session windows (operators/windows.
+    session_windows on a stream): watermark → groupBy(conv,
+    session_window) in APPEND mode — Spark's native session-merge state
+    operator (sessions merge as gap-bridging events arrive; each merged
+    session finalized exactly ONCE when the watermark passes its end).
+    The custom-state twin `stream_session` proves the applyInPandas
+    path; this proves the all-JVM chained-native path against the SAME
+    gaps-and-islands SQL oracle as batch `w_session`. Drain: one-batch
+    backlog + a watermark-advancing sentinel (the watermark node sits
+    on the raw stream, so one system row suffices)."""
+    import datetime
+    import tempfile
+
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    t = load_transcripts(spark, sf_dir)
+    max_ts = t.agg(F.max("ts")).first()[0]
+    work = tempfile.mkdtemp(prefix="vaero_q_ssn_")
+    inp = f"{work}/in"
+    t.write.parquet(inp)
+    src = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(inp)  # one batch
+    agg = session_windows(src.withWatermark("ts", "1 hour"), "30 minutes")
+    sink = MemorySink()
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()  # backlog: sessions merge in-state, held
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", 0, "system", "", "",
+          max_ts + datetime.timedelta(days=60))],
+        TRANSCRIPTS_SCHEMA,
+    )
+    sentinel.write.mode("append").parquet(inp)
+    q.processAllAvailable()  # watermark jumps; every real session flushes
+    q.stop()
+    rows = [
+        tuple(r)
+        for _, batch in sink.batches
+        for r in batch
+        if not r.conv_id.startswith("__sentinel")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, win_start timestamp, win_end timestamp, "
+        "n_turns long, n_user long, n_tool long, first_turn int, "
+        "last_turn int, min_ts timestamp, max_ts timestamp",
+    )
+
+
+LAYOUT_BOX_A, LAYOUT_BOX_B = (20, 52), (45, 109)  # deliberately tile-misaligned
+
+
+def q_layout_zorder(spark, sf_dir):
+    """Z-order layout pruning report (operators/layout.
+    layout_prune_report): Morton-interleave (user bucket, hour bucket)
+    and compare min-max file pruning for a 2-D query box against the
+    time-partitioned status quo — the Delta/Iceberg OPTIMIZE ZORDER
+    mechanism as a measurable funnel (same matching rows, fewer files
+    opened, fewer rows scanned); pure div/mod arithmetic, no global
+    sort (files are layout-key prefix buckets)."""
+    from vaero_spark.operators.layout import layout_prune_report
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(256)).alias("ub"),
+        F.pmod(
+            F.expr("timestampdiff(HOUR, timestamp'1970-01-01 00:00:00', ts)"),
+            F.lit(256),
+        ).alias("hb"),
+    )
+    return layout_prune_report(ev, "ub", "hb", LAYOUT_BOX_A, LAYOUT_BOX_B)
+
+
 def q_corpus_bottomk(spark, sf_dir):
     """Per-stratum FIXED-SIZE deterministic sample (operators/
     transforms.sample_bottomk): the 10 smallest-md5 docs per language —
@@ -2399,6 +2476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_outer_join": q_stream_outer_join,
         "corpus_bottomk": q_corpus_bottomk,
         "cep_within": q_cep_within,
+        "stream_session_native": q_stream_session_native,
+        "layout_zorder": q_layout_zorder,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2598,6 +2677,7 @@ _CLUSTER_STATS_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
     FROM csz GROUP BY cluster_size"""
 from vaero_spark.operators.search import build_postings_sql as _postings_sql
 from vaero_spark.operators.prune import bloom_semijoin_stats_sql as _bloom_sql
+from vaero_spark.operators.layout import layout_prune_report_sql as _layout_sql
 from vaero_spark.operators.search import fingerprint_search_sql as _fpsearch_sql
 from vaero_spark.operators.curate import conversation_quality_sql as _convq_sql
 from vaero_spark.operators.windows import sessionize_sql as _sessionize_sql
@@ -3152,6 +3232,17 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": f"""{_T},
             cd_src AS (SELECT * FROM transcripts WHERE tool != ''),
             {AN_CUSUM_SQL}""",
+        # drained native session-window stream == the batch gaps-and-
+        # islands oracle (same SQL as w_session)
+        "stream_session_native": _W_SESSION_SQL,
+        # same rows, two layouts: the funnel gap is the clustering win
+        "layout_zorder": f"""WITH lz AS (
+              SELECT user_id % 256 AS ub,
+                     CAST(datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                                   CAST(ts AS TIMESTAMP)) AS BIGINT) % 256
+                       AS hb
+              FROM events)
+            {_layout_sql('lz', 'ub', 'hb', LAYOUT_BOX_A, LAYOUT_BOX_B)}""",
         # bottom-k sketch: the window form IS the salted-plan identity
         "corpus_bottomk": TR.sample_bottomk_sql("documents", k=10),
         # lead-chain within-clause: event time inside the match predicate
