@@ -2234,6 +2234,21 @@ def q_stream_session_native(spark, sf_dir):
     )
 
 
+def q_j_salted(spark, sf_dir):
+    """Salted hot-key equi-join (operators/skew.salted_join): enrich
+    every turn with its conversation's turn count by joining the
+    Zipf-skewed fact on (conv_id, salt) against a salt-exploded dim —
+    the hot conversation spreads over 16 reducers; result row-identical
+    to the plain join (the oracle IS the plain join)."""
+    from vaero_spark.operators.skew import salted_join
+
+    t = load_transcripts(spark, sf_dir)
+    dim = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("conv_turns"))
+    return salted_join(
+        t.select("conv_id", "turn_idx", "role"), dim, "conv_id"
+    ).select("conv_id", "turn_idx", "role", "conv_turns")
+
+
 LAYOUT_BOX_A, LAYOUT_BOX_B = (20, 52), (45, 109)  # deliberately tile-misaligned
 
 
@@ -2478,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_within": q_cep_within,
         "stream_session_native": q_stream_session_native,
         "layout_zorder": q_layout_zorder,
+        "j_salted": q_j_salted,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -3235,6 +3251,14 @@ def oracle_sql() -> dict[str, str]:
         # drained native session-window stream == the batch gaps-and-
         # islands oracle (same SQL as w_session)
         "stream_session_native": _W_SESSION_SQL,
+        # the salted plan is row-identical to the plain join by
+        # construction — the plain join IS the oracle
+        "j_salted": f"""{_T}
+            SELECT t.conv_id, t.turn_idx, t.role, d.conv_turns
+            FROM transcripts t
+            JOIN (SELECT conv_id, COUNT(*) AS conv_turns
+                  FROM transcripts GROUP BY conv_id) d
+              ON t.conv_id = d.conv_id""",
         # same rows, two layouts: the funnel gap is the clustering win
         "layout_zorder": f"""WITH lz AS (
               SELECT user_id % 256 AS ub,

@@ -65,3 +65,34 @@ def test_repartition_salted_spreads_hot_key(spark, skewed_df):
     # the hot conversation must span several partitions, none holding all
     assert len(dist) >= 4
     assert max(r["count"] for r in dist) < 5000
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    """The salted (key, salt) equi-join must equal the plain join row
+    for row, and the fact side of a hot key must actually spread over
+    multiple salts."""
+    from pyspark.sql import functions as F
+
+    from vaero_spark.operators.skew import salt_column, salted_join
+
+    rows = [("hot", i, "user") for i in range(500)] + [
+        (f"c{i}", j, "tool") for i in range(20) for j in range(5)
+    ]
+    fact = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    dim = fact.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    got = sorted(
+        map(tuple, salted_join(fact, dim, "conv_id").select(
+            "conv_id", "turn_idx", "role", "n").collect())
+    )
+    want = sorted(
+        map(tuple, fact.join(dim, "conv_id").select(
+            "conv_id", "turn_idx", "role", "n").collect())
+    )
+    assert got == want
+    spread = (
+        fact.where(F.col("conv_id") == "hot")
+        .select(salt_column(16, "turn_idx").alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread == 16  # the hot key's rows use every shard

@@ -58,3 +58,35 @@ def repartition_salted(df: DataFrame, key: str, n_partitions: int, n_salts: int 
     distributes a hot key over ``n_salts`` partitions while keeping
     locality for normal keys."""
     return df.repartition(n_partitions, F.col(key), salt_column(n_salts, "turn_idx"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Hot-key EQUI-JOIN without a straggler: salt the fact side into
+    ``n_salts`` shards (deterministic hash of intra-row columns) and
+    EXPLODE the dim side across every salt, joining on (key, salt) —
+    the hot key's rows land on ``n_salts`` reducers instead of one.
+    Result is row-identical to the plain join (every fact row meets its
+    dim row exactly once, in its own shard).
+
+    When to reach for it: AQE's skew-join splitting only rescues
+    sort-merge joins at runtime and broadcast only fits model-sized
+    dims; a mid-sized dim (too big to broadcast) joining a Zipf-skewed
+    fact is the gap this fills — the standard pre-salted replication,
+    cost = dim x n_salts rows shuffled (choose n_salts ~ the skew
+    factor, not the cluster size).
+
+    Output: fact columns + dim's non-key columns.
+    """
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    f = fact.withColumn("_salt", salt_column(n_salts, *salt_cols))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return f.join(d, [key, "_salt"], "inner").drop("_salt")
