@@ -2180,6 +2180,50 @@ def q_stream_absence(spark, sf_dir):
     )
 
 
+def q_stream_within(spark, sf_dir):
+    """STREAMING time-bounded CEP (operators/cep.stream_cep_within):
+    'ttu' completing inside six hours, detected live — a sliding start
+    settles the instant its window completes (symbols consumed, span
+    pure ms arithmetic), so state is the last 2 turns + the disorder
+    buffer and every emission equals the batch lead-chain on the seen
+    prefix. Drained == cep_within's SQL oracle row for row."""
+    import tempfile
+
+    from vaero_spark.operators.cep import stream_cep_within
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_swi_")
+    inp = _gate_stream_input(spark, sf_dir, "plain")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        stream_cep_within(src, "ttu", 21600, watermark="60 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: later epochs supersede earlier emissions
+    for epoch_id, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = r
+    hits = [
+        (r.conv_id, r.n_turns, r.n_within, r.first_within_turn)
+        for r in final.values()
+        if r.n_within > 0
+    ]
+    return spark.createDataFrame(
+        hits, "conv_id string, n_turns long, n_within long, first_within_turn long"
+    )
+
+
 def q_stream_session_native(spark, sf_dir):
     """JVM-NATIVE streaming session windows (operators/windows.
     session_windows on a stream): watermark → groupBy(conv,
@@ -2494,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_native": q_stream_session_native,
         "layout_zorder": q_layout_zorder,
         "j_salted": q_j_salted,
+        "stream_within": q_stream_within,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -3271,6 +3316,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bottomk": TR.sample_bottomk_sql("documents", k=10),
         # lead-chain within-clause: event time inside the match predicate
         "cep_within": f"{_T} {CEP.cep_within_sql('transcripts', 'ttu', 21600)}",
+        # drained streaming within == the batch lead-chain oracle
+        "stream_within": f"{_T} {CEP.cep_within_sql('transcripts', 'ttu', 21600)}",
         # drained streaming left-outer == the batch LEFT JOIN (matches
         # eager, unmatched users emitted at state eviction)
         "stream_outer_join": f"""{_T}

@@ -340,3 +340,125 @@ def test_cep_within_time_bound_excludes_slow_completions(spark):
         cep_within(df, "t", 3600)  # spans need two ends
     with pytest.raises(ValueError):
         cep_within(df, "ttu", -1)
+
+
+def test_stream_within_every_emission_equals_prefix_batch():
+    """Unit-drive the streaming within machine over random timed role
+    strings and every chunking: each emission must equal the brute-force
+    sliding lead-chain scan of the consumed prefix (no end-of-stream
+    fold exists in these semantics)."""
+    import itertools
+    import random
+
+    from vaero_spark.operators.cep import ROLE_SYMBOLS, _stream_within_fn
+
+    SYM_TO_ROLE = {v: k for k, v in ROLE_SYMBOLS.items()}
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutTimestamp(self, *a, **k):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+    def brute(seq, mss, literal, span_ms):
+        L = len(literal)
+        n = first = 0
+        first = -1
+        for p in range(len(seq) - L + 1):
+            if seq[p : p + L] == literal and mss[p + L - 1] - mss[p] <= span_ms:
+                n += 1
+                if first < 0:
+                    first = p
+        return len(seq), n, first
+
+    rng = random.Random(9)
+    literal, span_ms = "ttu", 600_000
+    for trial in range(60):
+        n = rng.randrange(2, 9)
+        seq = "".join(rng.choice("uat") for _ in range(n))
+        base = 1_704_067_200_000
+        mss = []
+        t = base
+        for _ in range(n):
+            t += rng.choice([1_000, 120_000, 400_000, 700_000])
+            mss.append(t)
+        cuts = sorted(rng.sample(range(1, n), k=min(2, n - 1))) + [n]
+        fn = _stream_within_fn(literal, span_ms, ROLE_SYMBOLS, 3600)
+        state = FakeState()
+        pos = 0
+        for cut in cuts:
+            idxs = list(range(pos, cut))
+            pdf = pd.DataFrame(
+                {
+                    "turn_idx": idxs,
+                    "role": [SYM_TO_ROLE[seq[i]] for i in idxs],
+                    "ts": pd.to_datetime([mss[i] for i in idxs], unit="ms"),
+                }
+            )
+            for emitted in fn(("c",), iter([pdf]), state):
+                got = (
+                    int(emitted["n_turns"].iloc[0]),
+                    int(emitted["n_within"].iloc[0]),
+                    int(emitted["first_within_turn"].iloc[0]),
+                )
+                assert got == brute(seq[:cut], mss[:cut], literal, span_ms), (
+                    seq, mss, cuts, cut,
+                )
+            pos = cut
+        # carry bounded by L-1 symbols
+        assert len(state._v[4] or "") <= len(literal) - 1
+
+
+def test_stream_within_drain_equals_batch(spark, tmp_path):
+    """Drain the streaming within detector over an out-of-order file
+    stream; last emissions (n_within > 0) == the batch operator."""
+    import os
+
+    from vaero_spark.operators.cep import cep_within, stream_cep_within
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import transcripts_stream
+    from vaero_spark.testing.fixtures import write_transcripts_parquet
+
+    src_dir = str(tmp_path / "src")
+    write_transcripts_parquet(
+        src_dir, n_files=5, n_turns=900, n_convs=18, seed=21, role_mode="hash"
+    )
+    stream = transcripts_stream(spark, src_dir, max_files_per_trigger=1)
+    out = stream_cep_within(stream, "tu", 1800, watermark="60 days")
+    sink = MemorySink()
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for _, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = (r.n_turns, r.n_within, r.first_within_turn)
+    got = {c: v for c, v in final.items() if v[1] > 0}
+    batch = spark.read.parquet(src_dir).dropDuplicates(["conv_id", "turn_idx"])
+    want = {
+        r.conv_id: (r.n_turns, r.n_within, r.first_within_turn)
+        for r in cep_within(batch, "tu", 1800).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no within-span matches"

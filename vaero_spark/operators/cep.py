@@ -915,3 +915,163 @@ def stream_cep_absence(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming time-bounded CEP — the within() clause as a live detector
+# ---------------------------------------------------------------------------
+
+WITHIN_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_within", T.LongType()),
+        T.StructField("first_within_turn", T.LongType()),
+    ]
+)
+
+#: carry_* = the last len(literal)-1 consumed turns (symbol chars +
+#: epoch-ms) — the only lookbehind a window ending at the next turn
+#: needs; pend_* buffers out-of-order arrivals as in the other machines
+WITHIN_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_idx", T.LongType()),
+        T.StructField("pend_idx", T.ArrayType(T.LongType())),
+        T.StructField("pend_sym", T.StringType()),
+        T.StructField("pend_ms", T.ArrayType(T.LongType())),
+        T.StructField("carry_sym", T.StringType()),
+        T.StructField("carry_ms", T.ArrayType(T.LongType())),
+        T.StructField("n_within", T.LongType()),
+        T.StructField("first_within", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _stream_within_fn(
+    literal: str, max_span_ms: int, symbols: dict[str, str],
+    idle_timeout_seconds: int,
+):
+    from vaero_spark.operators.state import _arm_idle_timeout, _pdf_max_us
+
+    L = len(literal)
+
+    def fn(
+        key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            (next_idx, pend_idx, pend_sym, pend_ms, carry_sym, carry_ms,
+             n_within, first_within, last_us) = state.get
+            pend = {
+                i: (s, m)
+                for i, s, m in zip(pend_idx or [], pend_sym or "", pend_ms or [])
+            }
+            carry = list(zip(carry_sym or "", carry_ms or []))
+        else:
+            next_idx, n_within, first_within, last_us = 0, 0, -1, 0
+            pend, carry = {}, []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            last_us = _pdf_max_us(pdf, last_us)
+            idxs = pdf["turn_idx"].to_numpy()
+            keep = idxs >= next_idx
+            syms = pdf["role"][keep].map(symbols).fillna(UNKNOWN_SYMBOL)
+            tsk = pdf["ts"][keep]
+            ims = tsk.astype("int64")
+            # pandas may deliver ns or us resolution (the _pdf_max_us rule)
+            ims = ims // (1_000_000 if tsk.dtype == "datetime64[ns]" else 1_000)
+            mss = ims.tolist()
+            for i, s, m in zip(idxs[keep].tolist(), syms.tolist(), mss):
+                if i not in pend:  # first arrival wins; late dups drop
+                    pend[i] = (s, m)
+        advanced = False
+        while next_idx in pend:
+            s, m = pend.pop(next_idx)
+            window = carry + [(s, m)]
+            # a sliding start settles the moment its window completes:
+            # symbols already seen, span check pure arithmetic — every
+            # emission equals the batch lead-chain on the seen prefix
+            if (
+                len(window) == L
+                and "".join(c for c, _ in window) == literal
+                and window[-1][1] - window[0][1] <= max_span_ms
+            ):
+                n_within += 1
+                if first_within < 0:
+                    first_within = next_idx - L + 1
+            carry = window[-(L - 1):] if L > 1 else []
+            next_idx += 1
+            advanced = True
+        if advanced:
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [next_idx],
+                    "n_within": [n_within],
+                    "first_within_turn": [first_within],
+                }
+            )
+        state.update(
+            (
+                next_idx,
+                sorted(pend),
+                "".join(pend[i][0] for i in sorted(pend)),
+                [pend[i][1] for i in sorted(pend)],
+                "".join(c for c, _ in carry),
+                [m for _, m in carry],
+                n_within,
+                first_within,
+                last_us,
+            )
+        )
+        _arm_idle_timeout(state, last_us, idle_timeout_seconds)
+
+    return fn
+
+
+def stream_cep_within(
+    stream: DataFrame,
+    literal: str = "ttu",
+    max_span_s: int = 3600,
+    watermark: str = "10 minutes",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+    idle_timeout_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """STREAMING time-bounded CEP — the live :func:`cep_within`
+    ("alert when the sequence completes inside the span"). The simplest
+    of the streaming CEP machines, and provably so: a SLIDING start
+    settles the instant its ``len(literal)``-turn window completes —
+    symbols already consumed, span check pure ms arithmetic — so state
+    is exactly the last ``len(literal)-1`` turns (plus the disorder
+    buffer) and EVERY emission equals the batch lead-chain scan of the
+    seen prefix with no end-of-stream fold at all (a position without
+    full lookahead is not a match in the batch semantics either).
+    Drained == :func:`cep_within` row for row (same SQL oracle).
+
+    Emits (conv_id, n_turns, n_within, first_within_turn) in UPDATE
+    mode whenever the contiguous prefix advances.
+    """
+    _check_pattern(literal, symbols)
+    if len(literal) < 2:
+        raise ValueError("within-patterns need >= 2 symbols (a span needs two ends)")
+    if not set(literal) <= set(symbols.values()):
+        raise ValueError(f"literal {literal!r} uses symbols outside the alphabet")
+    if max_span_s < 0:
+        raise ValueError("max_span_s must be >= 0")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _stream_within_fn(
+                literal, max_span_s * 1000, dict(symbols), idle_timeout_seconds
+            ),
+            outputStructType=WITHIN_STREAM_OUTPUT_SCHEMA,
+            stateStructType=WITHIN_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
