@@ -2278,6 +2278,32 @@ def q_stream_session_native(spark, sf_dir):
     )
 
 
+CEP_LIBRARY = {
+    "tool_loop": "tt+u",  # tool churn until the user interrupts
+    "unanswered_end": "u$",  # conversation ends on a user turn
+    "sys_restart": "s[ua]",  # system turn mid-conversation
+}
+
+
+def q_cep_multi(spark, sf_dir):
+    """Multi-pattern CEP library scan (operators/cep.cep_match_multi):
+    three named behavioral signatures evaluated over ONE conversation
+    assembly — N patterns cost one shuffle, not N (the production CEP
+    monitoring shape); same per-pattern semantics as cep_role_seq."""
+    return CEP.cep_match_multi(load_transcripts(spark, sf_dir), CEP_LIBRARY)
+
+
+def q_corpus_cube(spark, sf_dir):
+    """CUBE aggregation (operators/analytics.corpus_cube): doc counts
+    and char volume by language x source with ALL margins from one
+    pass (single scan feeding Spark's Expand); grouping_id bitmask
+    separates margin rows from genuinely-null dims — bit-identical to
+    DuckDB's GROUPING()."""
+    from vaero_spark.operators.analytics import corpus_cube
+
+    return corpus_cube(CORPUS.load_documents(spark, sf_dir))
+
+
 def q_j_salted(spark, sf_dir):
     """Salted hot-key equi-join (operators/skew.salted_join): enrich
     every turn with its conversation's turn count by joining the
@@ -2539,6 +2565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder": q_layout_zorder,
         "j_salted": q_j_salted,
         "stream_within": q_stream_within,
+        "cep_multi": q_cep_multi,
+        "corpus_cube": q_corpus_cube,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -2739,6 +2767,7 @@ _CLUSTER_STATS_SQL = f"""WITH RECURSIVE {CORPUS.DOCUMENTS_ND_ORACLE_CTE},
 from vaero_spark.operators.search import build_postings_sql as _postings_sql
 from vaero_spark.operators.prune import bloom_semijoin_stats_sql as _bloom_sql
 from vaero_spark.operators.layout import layout_prune_report_sql as _layout_sql
+from vaero_spark.operators.analytics import corpus_cube_sql as _cube_sql
 from vaero_spark.operators.search import fingerprint_search_sql as _fpsearch_sql
 from vaero_spark.operators.curate import conversation_quality_sql as _convq_sql
 from vaero_spark.operators.windows import sessionize_sql as _sessionize_sql
@@ -3296,6 +3325,10 @@ def oracle_sql() -> dict[str, str]:
         # drained native session-window stream == the batch gaps-and-
         # islands oracle (same SQL as w_session)
         "stream_session_native": _W_SESSION_SQL,
+        # one symbol-string CTE, N regex branches — same amortized scan
+        "cep_multi": f"{_T}, {CEP.cep_match_multi_sql('transcripts', CEP_LIBRARY)}",
+        # GROUPING(a,b) emits Spark's grouping_id bitmask (first dim MSB)
+        "corpus_cube": _cube_sql("documents"),
         # the salted plan is row-identical to the plain join by
         # construction — the plain join IS the oracle
         "j_salted": f"""{_T}

@@ -462,3 +462,27 @@ def test_stream_within_drain_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture produced no within-span matches"
+
+
+def test_cep_match_multi_equals_per_pattern_runs(spark):
+    """The one-pass library scan must equal N independent cep_match
+    runs, pattern for pattern."""
+    from vaero_spark.operators.cep import cep_match, cep_match_multi
+    from vaero_spark.testing.fixtures import write_transcripts_parquet
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cmm_")
+    write_transcripts_parquet(d, n_files=1, n_turns=400, n_convs=12, seed=5, role_mode="hash")
+    df = spark.read.parquet(d)
+    pats = {"loop": "tt+u", "end_u": "u$", "sys": "s[ua]"}
+    got = sorted(
+        (r.pattern, r.conv_id, r.n_matches, r.first_match_turn)
+        for r in cep_match_multi(df, pats).collect()
+    )
+    want = sorted(
+        (name, r.conv_id, r.n_matches, r.first_match_turn)
+        for name, pat in pats.items()
+        for r in cep_match(df, pat).collect()
+    )
+    assert got == want and want

@@ -283,6 +283,14 @@ CHECKS = {
         ["HashAggregate", "windowspecdefinition(key#"],
         ["CartesianProduct"],
     ),
+    # pattern library: ONE conversation Aggregate feeds all N regex
+    # projections — the amortized-scan claim; no join anywhere
+    "cep_multi": (
+        ["ObjectHashAggregate|HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # CUBE: one scan feeding Expand (every margin from one pass)
+    "corpus_cube": (["Expand"], ["CartesianProduct", "Union"]),
 }
 
 

@@ -1274,3 +1274,50 @@ def cusum_drift_sql(
            CAST(CASE WHEN s_down > {threshold} THEN 1 ELSE 0 END AS BIGINT)
              AS down_alarm
     FROM cd_s"""
+
+
+# ---------------------------------------------------------------------------
+# cube aggregation — all margin combinations in one pass
+# ---------------------------------------------------------------------------
+
+
+def corpus_cube(
+    df: DataFrame, dims: tuple[str, str] = ("lang", "source"), size_col: str = "n_chars"
+) -> DataFrame:
+    """CUBE aggregation over two dimensions: every grouping combination
+    — (a,b), (a), (b), and the grand total — from ONE pass (Spark plans
+    a single scan feeding an Expand), the corpus-composition report a
+    curation dashboard renders as a cross-tab with margins. The
+    ``grouping_id`` bitmask (1 bit per dim, first dim = MSB) separates
+    a margin row from a genuinely-null dimension value — without it the
+    two are indistinguishable, the classic CUBE footgun.
+
+    Output: (dim_a, dim_b, gid, n_docs, total_size); margin rows carry
+    null dims and a nonzero gid.
+    """
+    a, b = dims
+    return (
+        df.cube(a, b)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(size_col).cast("long").alias("total_size"),
+        )
+        .select(a, b, "gid", "n_docs", "total_size")
+    )
+
+
+def corpus_cube_sql(
+    table: str, dims: tuple[str, str] = ("lang", "source"), size_col: str = "n_chars"
+) -> str:
+    """DuckDB twin of :func:`corpus_cube` (standalone SELECT): DuckDB's
+    ``GROUPING(a, b)`` emits the same first-dim-MSB bitmask as Spark's
+    ``grouping_id``. SUM cast OUTSIDE (HUGEINT rule)."""
+    a, b = dims
+    return f"""
+    SELECT {a}, {b},
+           CAST(GROUPING({a}, {b}) AS BIGINT) AS gid,
+           COUNT(*) AS n_docs,
+           CAST(SUM({size_col}) AS BIGINT) AS total_size
+    FROM {table}
+    GROUP BY CUBE ({a}, {b})"""

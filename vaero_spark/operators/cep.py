@@ -1075,3 +1075,94 @@ def stream_cep_within(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-pattern CEP — a pattern library over ONE assembly pass
+# ---------------------------------------------------------------------------
+
+
+def cep_match_multi(
+    df: DataFrame,
+    patterns: dict[str, str],
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+) -> DataFrame:
+    """PATTERN LIBRARY scan: evaluate a whole dictionary of CEP
+    patterns in ONE conversation-assembly pass — the production shape
+    of CEP monitoring (a library of named behavioral signatures, not
+    one query per pattern). N separate :func:`cep_match` calls would
+    shuffle and re-assemble the corpus N times; here the symbol string
+    is built once and the N regex evaluations are narrow projections
+    over it (amortized scan, audited single Aggregate).
+
+    Output: (conv_id, pattern, n_matches, first_match_turn), one row
+    per (conversation, matched pattern) with the same per-pattern
+    semantics as :func:`cep_match`.
+    """
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    for p in patterns.values():
+        _check_pattern(p, symbols)
+    turn = F.struct(
+        F.col(order_col).alias("idx"),
+        _symbol_expr(role_col, symbols).alias("c"),
+    )
+    agg = df.select(F.col(conv_col), turn.alias("t")).groupBy(conv_col).agg(
+        F.sort_array(F.collect_list("t")).alias("_turns")
+    )
+    seq = F.array_join(F.transform(F.col("_turns"), lambda t: t["c"]), "")
+    base = agg.select(F.col(conv_col), seq.alias("_seq"))
+    per_pat = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pattern"),
+                F.regexp_count("_seq", F.lit(pat)).cast("bigint").alias("n_matches"),
+                F.length(F.regexp_extract("_seq", f"^(.*?)(?:{pat})", 1))
+                .cast("bigint")
+                .alias("first_match_turn"),
+            )
+            for name, pat in sorted(patterns.items())
+        ]
+    )
+    return (
+        base.select(F.col(conv_col), F.explode(per_pat).alias("_m"))
+        .select(conv_col, "_m.pattern", "_m.n_matches", "_m.first_match_turn")
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def cep_match_multi_sql(
+    table: str,
+    patterns: dict[str, str],
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+) -> str:
+    """DuckDB twin of :func:`cep_match_multi` (caller supplies
+    ``WITH``): one symbol-string CTE + a per-pattern UNION ALL over
+    it."""
+    for p in patterns.values():
+        _check_pattern(p, symbols)
+    whens = " ".join(
+        f"WHEN '{role}' THEN '{sym}'" for role, sym in sorted(symbols.items())
+    )
+    sym_case = f"CASE {role_col} {whens} ELSE '{UNKNOWN_SYMBOL}' END"
+    branches = []
+    for name, pat in sorted(patterns.items()):
+        pq = pat.replace("'", "''")
+        branches.append(f"""
+      SELECT {conv_col}, '{name}' AS pattern,
+             CAST(len(regexp_extract_all(seq, '{pq}')) AS BIGINT) AS n_matches,
+             CAST(length(regexp_extract(seq, '^(.*?)(?:{pq})', 1)) AS BIGINT)
+               AS first_match_turn
+      FROM cmm_seq""")
+    return f"""
+    cmm_seq AS (
+      SELECT {conv_col}, string_agg({sym_case}, '' ORDER BY {order_col}) AS seq
+      FROM {table} GROUP BY {conv_col})
+    SELECT * FROM ({' UNION ALL '.join(branches)})
+    WHERE n_matches > 0"""
