@@ -2278,6 +2278,14 @@ def q_stream_session_native(spark, sf_dir):
     )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (functions/text.vocab_coverage): the
+    token-occurrence share of the top-10/100/1000 distinct tokens —
+    the Zipf head-mass probe behind vocab sizing; one token groupBy +
+    TakeOrderedAndProject survivors, coverage in basis points."""
+    return TXT.vocab_coverage(CORPUS.load_documents(spark, sf_dir))
+
+
 CEP_LIBRARY = {
     "tool_loop": "tt+u",  # tool churn until the user interrupts
     "unanswered_end": "u$",  # conversation ends on a user turn
@@ -2567,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_within": q_stream_within,
         "cep_multi": q_cep_multi,
         "corpus_cube": q_corpus_cube,
+        "vocab_coverage": q_vocab_coverage,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -3325,6 +3334,8 @@ def oracle_sql() -> dict[str, str]:
         # drained native session-window stream == the batch gaps-and-
         # islands oracle (same SQL as w_session)
         "stream_session_native": _W_SESSION_SQL,
+        # Zipf head mass: top-N cum share over one token groupBy
+        "vocab_coverage": TXT.vocab_coverage_sql("documents"),
         # one symbol-string CTE, N regex branches — same amortized scan
         "cep_multi": f"{_T}, {CEP.cep_match_multi_sql('transcripts', CEP_LIBRARY)}",
         # GROUPING(a,b) emits Spark's grouping_id bitmask (first dim MSB)

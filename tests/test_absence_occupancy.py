@@ -311,3 +311,61 @@ def test_stream_outer_join_drain_equals_batch_left_join(spark, tmp_path):
     assert got == want
     assert any(t[2] is None for t in want), "fixture produced no unmatched users"
     assert any(t[2] is not None for t in want), "fixture produced no matches"
+
+
+def test_stream_absence_resumes_from_checkpoint(spark, tmp_path):
+    """Stop the absence detector mid-stream, restart from the same
+    checkpoint over a grown input, and the combined drained result must
+    still equal the batch operator — the state store reloads the
+    pending buffers and settled counters exactly."""
+    import os
+
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+    from vaero_spark.testing.fixtures import write_transcripts_parquet
+
+    src_dir = str(tmp_path / "src")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    write_transcripts_parquet(
+        src_dir, n_files=6, n_turns=900, n_convs=20, seed=13, role_mode="hash"
+    )
+
+    def run_until_drained(sink):
+        stream = (
+            spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src_dir)
+        )
+        q = (
+            stream_cep_absence(stream, k=2, watermark="60 days")
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    sink1 = MemorySink()
+    run_until_drained(sink1)  # phase 1: all 6 files
+    # grow the input AFTER the first run stopped: replaying two of the
+    # original files as "new" data exercises resume AND duplicate-drop
+    # (the state machine ignores already-consumed turn indexes)
+    import shutil
+
+    for i, f in enumerate(sorted(os.listdir(src_dir))[:2]):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src_dir, f), os.path.join(src_dir, f"re_{i}.parquet"))
+    sink2 = MemorySink()
+    run_until_drained(sink2)  # phase 2: resumes, sees the new files only
+    final = {}
+    for _, rows in sorted(sink1.batches) + sorted(sink2.batches):
+        for r in rows:
+            final[r.conv_id] = (r.n_turns, r.n_triggers, r.n_dangling, r.first_dangling_turn)
+    got = {c: v for c, v in final.items() if v[2] > 0}
+    batch = spark.read.parquet(src_dir).dropDuplicates(["conv_id", "turn_idx"])
+    want = {
+        r.conv_id: (r.n_turns, r.n_triggers, r.n_dangling, r.first_dangling_turn)
+        for r in cep_absence(batch, k=2).collect()
+    }
+    assert got == want and want

@@ -826,3 +826,102 @@ def length_quantiles_sql(table: str = "documents", lang_col: str = "lang",
 {picks}
     FROM lq_cum JOIN lq_tot USING (lang)
     GROUP BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (top-N token share)
+# ---------------------------------------------------------------------------
+
+COVERAGE_NS = (10, 100, 1000)
+
+
+def vocab_coverage(df, text_col: str = "text", ns: tuple[int, ...] = COVERAGE_NS):
+    """VOCABULARY COVERAGE curve: what share of all token OCCURRENCES
+    the top-N distinct tokens account for, at several N — the Zipf
+    head-mass probe behind tokenizer vocab sizing and stopword-list
+    decisions ("how big must the vocab be to cover 95% of the
+    corpus"). Share in basis points: ``10000 * cum_count DIV total``
+    (pure BIGINT). A vocabulary smaller than N saturates at the full
+    total (coverage 10000), not a missing row.
+
+    Distributed shape: ONE token groupBy (map-side combined) + a 1-row
+    total; the top-max(N) survivors come via TakeOrderedAndProject
+    (never a global sort) and the cumsum window runs over those
+    model-sized rows only.
+
+    Output: (top_n, cum_count, total_count, coverage_bp), one row per
+    requested N.
+    """
+    from pyspark.sql import Window
+
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError("ns must be non-empty positive ints")
+    n_max = max(ns)
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total_count"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(n_max)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    )
+    cums = ranked.agg(
+        *[
+            F.max(F.when(F.col("rank") <= n, F.col("cum"))).alias(f"_c{n}")
+            for n in sorted(ns)
+        ]
+    )
+    stacked = cums.crossJoin(total).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).cast("long").alias("top_n"),
+                        F.col(f"_c{n}").alias("cum_count"),
+                    )
+                    for n in sorted(ns)
+                ]
+            )
+        ).alias("_s"),
+        "total_count",
+    )
+    return stacked.select(
+        F.col("_s.top_n").alias("top_n"),
+        F.col("_s.cum_count").alias("cum_count"),
+        "total_count",
+        F.expr("10000 * _s.cum_count DIV total_count").alias("coverage_bp"),
+    )
+
+
+def vocab_coverage_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    ns: tuple[int, ...] = COVERAGE_NS,
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage` (standalone SELECT)."""
+    n_max = max(ns)
+    ns_list = ", ".join(str(n) for n in sorted(ns))
+    return f"""
+    WITH vc_counts AS (
+      SELECT t.tok AS token, COUNT(*) AS n
+      FROM {table}, unnest({tokens_sql(text_col)}) AS t(tok)
+      GROUP BY 1),
+    vc_total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_count FROM vc_counts),
+    vc_ranked AS (
+      SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+             CAST(SUM(n) OVER (ORDER BY n DESC, token
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM vc_counts QUALIFY rank <= {n_max})
+    SELECT CAST(ck.top_n AS BIGINT) AS top_n,
+           MAX(CASE WHEN vc_ranked.rank <= ck.top_n THEN vc_ranked.cum END)
+             AS cum_count,
+           ANY_VALUE(vc_total.total_count) AS total_count,
+           10000 * MAX(CASE WHEN vc_ranked.rank <= ck.top_n
+                            THEN vc_ranked.cum END)
+             // ANY_VALUE(vc_total.total_count) AS coverage_bp
+    FROM (SELECT unnest([{ns_list}]) AS top_n) ck, vc_ranked, vc_total
+    GROUP BY ck.top_n"""
