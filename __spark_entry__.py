@@ -2234,7 +2234,9 @@ def q_stream_session_native(spark, sf_dir):
     path; this proves the all-JVM chained-native path against the SAME
     gaps-and-islands SQL oracle as batch `w_session`. Drain: one-batch
     backlog + a watermark-advancing sentinel (the watermark node sits
-    on the raw stream, so one system row suffices)."""
+    on the raw stream, so one system row suffices). State-store
+    partitions pinned to 8 for the run (restored after) — the
+    q_stream_outer_join sizing note."""
     import datetime
     import tempfile
 
@@ -2249,21 +2251,26 @@ def q_stream_session_native(spark, sf_dir):
     src = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(inp)  # one batch
     agg = session_windows(src.withWatermark("ts", "1 hour"), "30 minutes")
     sink = MemorySink()
-    q = (
-        agg.writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()  # backlog: sessions merge in-state, held
-    sentinel = spark.createDataFrame(
-        [("__sentinel__", 0, "system", "", "",
-          max_ts + datetime.timedelta(days=60))],
-        TRANSCRIPTS_SCHEMA,
-    )
-    sentinel.write.mode("append").parquet(inp)
-    q.processAllAvailable()  # watermark jumps; every real session flushes
-    q.stop()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()  # backlog: sessions merge in-state, held
+        sentinel = spark.createDataFrame(
+            [("__sentinel__", 0, "system", "", "",
+              max_ts + datetime.timedelta(days=60))],
+            TRANSCRIPTS_SCHEMA,
+        )
+        sentinel.write.mode("append").parquet(inp)
+        q.processAllAvailable()  # watermark jumps; every real session flushes
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     rows = [
         tuple(r)
         for _, batch in sink.batches
@@ -2379,7 +2386,14 @@ def q_stream_outer_join(spark, sf_dir):
     (nothing late) + a user+tool sentinel pair at max_ts + 60 days
     (both per-side watermark nodes sit after the role filters, so the
     sentinel must survive both) to advance the watermark and flush the
-    tail. Drained == the batch LEFT JOIN bit for bit."""
+    tail. Drained == the batch LEFT JOIN bit for bit.
+
+    The state-store partition count is pinned to 8 for this query (and
+    restored after): a stream-stream outer join holds FOUR state stores
+    per partition, and at gate volume the per-store fixed cost — not
+    data — dominates (measured 26.6 s at 32 partitions vs 6.3 s at 8,
+    same rows). Production sizes this to state volume, not the
+    session's batch shuffle width."""
     import datetime
     import tempfile
 
@@ -2397,24 +2411,29 @@ def q_stream_outer_join(spark, sf_dir):
         src, watermark="1 hour", max_lag="4 hours", how="left_outer"
     )
     sink = MemorySink()
-    q = (
-        out.writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()  # backlog: matches emit, unmatched held
-    sent_ts = max_ts + datetime.timedelta(days=60)
-    sentinel = spark.createDataFrame(
-        [
-            ("__sentinel__", 0, "user", "", "", sent_ts),
-            ("__sentinel__", 1, "tool", "", "calc", sent_ts),
-        ],
-        TRANSCRIPTS_SCHEMA,
-    )
-    sentinel.write.mode("append").parquet(inp)
-    q.processAllAvailable()  # watermark jumps; evicted rows emit nulls
-    q.stop()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()  # backlog: matches emit, unmatched held
+        sent_ts = max_ts + datetime.timedelta(days=60)
+        sentinel = spark.createDataFrame(
+            [
+                ("__sentinel__", 0, "user", "", "", sent_ts),
+                ("__sentinel__", 1, "tool", "", "calc", sent_ts),
+            ],
+            TRANSCRIPTS_SCHEMA,
+        )
+        sentinel.write.mode("append").parquet(inp)
+        q.processAllAvailable()  # watermark jumps; evicted rows emit nulls
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     rows = [
         (r.conv_id, r.user_turn, r.user_ts, r.tool_turn, r.tool_name, r.tool_ts)
         for _, batch in sink.batches
