@@ -2285,6 +2285,61 @@ def q_stream_session_native(spark, sf_dir):
     )
 
 
+def q_cep_absence_t(spark, sf_dir):
+    """TIME-based CEP negation (operators/cep.cep_absence_time — the
+    true Flink notFollowedBy().within(Time)): user turns with no
+    assistant response within ONE HOUR of wall-clock — the count-based
+    sibling asks 'within k turns', operations asks in time; ms-integer
+    reversed-running-min over response timestamps."""
+    return CEP.cep_absence_time(load_transcripts(spark, sf_dir), max_wait_s=3600)
+
+
+def q_stream_absence_t(spark, sf_dir):
+    """STREAMING time-based absence (operators/cep.
+    stream_cep_absence_time): a trigger settles as dangling the moment
+    a later turn's EVENT TIME proves the hour elapsed unanswered (event
+    time drives the decision, not wall clock); open state bounded by
+    one wait window of triggers; drained == the batch operator's SQL
+    oracle."""
+    import tempfile
+
+    from vaero_spark.operators.cep import stream_cep_absence_time
+    from vaero_spark.sinks.writers import MemorySink
+    from vaero_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="vaero_q_sabt_")
+    inp = _gate_stream_input(spark, sf_dir, "plain")
+    src = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(inp)
+    )
+    sink = MemorySink()
+    q = (
+        stream_cep_absence_time(src, max_wait_s=3600, watermark="60 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}  # update mode: later epochs supersede earlier emissions
+    for epoch_id, rows in sorted(sink.batches):
+        for r in rows:
+            final[r.conv_id] = r
+    flagged = [
+        (r.conv_id, r.n_turns, r.n_triggers, r.n_dangling, r.first_dangling_turn)
+        for r in final.values()
+        if r.n_dangling > 0
+    ]
+    return spark.createDataFrame(
+        flagged,
+        "conv_id string, n_turns long, n_triggers long, n_dangling long, "
+        "first_dangling_turn long",
+    )
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve (functions/text.vocab_coverage): the
     token-occurrence share of the top-10/100/1000 distinct tokens —
@@ -2502,9 +2557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round of driver history (not the usual 2 — the r5 cohort was 28 new
     ops and the window only holds 50); every one keeps an in-window
     family sibling AND stays in the full local replay
-    (``tools/check_oracle.py`` runs everything), so after
-    CORRECTNESS_r06 every query's newest green row is <= 1 round old
-    (``corpus_split``, born at position 51, gets its first row in r7)."""
+    (``tools/check_oracle.py`` runs everything — this round's full
+    sf0.001 AND sf0.01 replays are ALL OK across all 132). The round-6
+    ops born after position 50 (``corpus_split`` through
+    ``vocab_coverage``, including the second-half cohort: CEP
+    negation/within/multi batch+stream, streaming outer join, native
+    sessions, occupancy, bloom prune, z-order, CUSUM, upsample,
+    bottom-k, salted join, cube, coverage) get their first driver row
+    in r7 — rotate them to the front then."""
     return {
         # -- rotated IN (VERDICT r5 #2: last driver-green row r3/r4) --
         "t_add": q_t_add,
@@ -2595,6 +2655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_multi": q_cep_multi,
         "corpus_cube": q_corpus_cube,
         "vocab_coverage": q_vocab_coverage,
+        "cep_absence_t": q_cep_absence_t,
+        "stream_absence_t": q_stream_absence_t,
         "route_branch": q_route,
         "s3_ingest": q_s3_ingest,
         "conv_funnel": q_conv_funnel,
@@ -3355,6 +3417,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_session_native": _W_SESSION_SQL,
         # Zipf head mass: top-N cum share over one token groupBy
         "vocab_coverage": TXT.vocab_coverage_sql("documents"),
+        # ms-space reversed running min over response timestamps
+        "cep_absence_t": f"{_T} {CEP.cep_absence_time_sql('transcripts', max_wait_s=3600)}",
+        # drained time-based streaming absence == the batch operator
+        "stream_absence_t": f"{_T} {CEP.cep_absence_time_sql('transcripts', max_wait_s=3600)}",
         # one symbol-string CTE, N regex branches — same amortized scan
         "cep_multi": f"{_T}, {CEP.cep_match_multi_sql('transcripts', CEP_LIBRARY)}",
         # GROUPING(a,b) emits Spark's grouping_id bitmask (first dim MSB)

@@ -369,3 +369,64 @@ def test_stream_absence_resumes_from_checkpoint(spark, tmp_path):
         for r in cep_absence(batch, k=2).collect()
     }
     assert got == want and want
+
+
+def test_stream_absence_time_emissions_equal_prefix_batch():
+    """Time-based absence: random timed role strings x chunkings — every
+    emission equals the brute-force time-window scan of the prefix."""
+    import random
+
+    from vaero_spark.operators.cep import _stream_absence_time_fn
+
+    def brute(seq, mss, wait_ms):
+        n_trig = n_dang = 0
+        first = -1
+        for i, s in enumerate(seq):
+            if s != "u":
+                continue
+            n_trig += 1
+            answered = any(
+                seq[j] == "a" and mss[j] - mss[i] <= wait_ms
+                for j in range(i + 1, len(seq))
+            )
+            if not answered:
+                n_dang += 1
+                if first < 0:
+                    first = i
+        return len(seq), n_trig, n_dang, first
+
+    rng = random.Random(31)
+    wait_ms = 300_000
+    for trial in range(80):
+        n = rng.randrange(2, 9)
+        seq = "".join(rng.choice("uat") for _ in range(n))
+        base = 1_704_067_200_000
+        mss = []
+        t = base
+        for _ in range(n):
+            t += rng.choice([1_000, 60_000, 200_000, 400_000])
+            mss.append(t)
+        cuts = sorted(rng.sample(range(1, n), k=min(2, n - 1))) + [n]
+        fn = _stream_absence_time_fn("u", "a", wait_ms, ROLE_SYMBOLS, 3600)
+        state = FakeState()
+        pos = 0
+        for cut in cuts:
+            idxs = list(range(pos, cut))
+            pdf = pd.DataFrame(
+                {
+                    "turn_idx": idxs,
+                    "role": [SYM_TO_ROLE[seq[i]] for i in idxs],
+                    "ts": pd.to_datetime([mss[i] for i in idxs], unit="ms"),
+                }
+            )
+            for emitted in fn(("c",), iter([pdf]), state):
+                got = (
+                    int(emitted["n_turns"].iloc[0]),
+                    int(emitted["n_triggers"].iloc[0]),
+                    int(emitted["n_dangling"].iloc[0]),
+                    int(emitted["first_dangling_turn"].iloc[0]),
+                )
+                assert got == brute(seq[:cut], mss[:cut], wait_ms), (
+                    seq, mss, cuts, cut,
+                )
+            pos = cut

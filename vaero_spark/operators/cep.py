@@ -1166,3 +1166,258 @@ def cep_match_multi_sql(
       FROM {table} GROUP BY {conv_col})
     SELECT * FROM ({' UNION ALL '.join(branches)})
     WHERE n_matches > 0"""
+
+
+# ---------------------------------------------------------------------------
+# time-based CEP negation — trigger with no response within T seconds
+# ---------------------------------------------------------------------------
+
+
+def cep_absence_time(
+    df: DataFrame,
+    trigger_role: str = "user",
+    response_role: str = "assistant",
+    max_wait_s: int = 3600,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """TIME-based absence (the true Flink ``notFollowedBy().within(T)``
+    shape): trigger turns whose next response turn — by conversation
+    order — arrives more than ``max_wait_s`` seconds later, or never
+    ("user waited an hour with no answer"). The count-based sibling
+    :func:`cep_absence` asks "within k turns"; operations teams ask in
+    wall-clock, which is this operator. Millisecond-integer arithmetic
+    on the same reversed-running-min shape (here over the response
+    TIMESTAMP), one conversation-partitioned window + one groupBy.
+
+    Output: (conv_id, n_turns, n_triggers, n_dangling,
+    first_dangling_turn), conversations with >= 1 timed-out trigger.
+    """
+    if trigger_role == response_role:
+        raise ValueError("trigger and response roles must differ")
+    if max_wait_s < 0:
+        raise ValueError("max_wait_s must be >= 0")
+    from pyspark.sql import Window
+
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w_after = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_resp_ms = F.min(
+        F.when(F.col(role_col) == response_role, ms)
+    ).over(w_after)
+    base = df.withColumn("_ms", ms).withColumn("_next_resp_ms", next_resp_ms)
+    is_trig = F.col(role_col) == trigger_role
+    dangling = is_trig & (
+        F.col("_next_resp_ms").isNull()
+        | (F.col("_next_resp_ms") - F.col("_ms") > F.lit(max_wait_s * 1000).cast("long"))
+    )
+    return (
+        base.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(is_trig, 1).otherwise(0)).cast("bigint").alias("n_triggers"),
+            F.sum(F.when(dangling, 1).otherwise(0)).cast("bigint").alias("n_dangling"),
+            F.min(F.when(dangling, F.col(order_col))).cast("bigint").alias(
+                "first_dangling_turn"
+            ),
+        )
+        .filter(F.col("n_dangling") > 0)
+    )
+
+
+def cep_absence_time_sql(
+    table: str,
+    trigger_role: str = "user",
+    response_role: str = "assistant",
+    max_wait_s: int = 3600,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`cep_absence_time` (standalone SELECT)."""
+    ms = f"epoch_ms(CAST({ts_col} AS TIMESTAMP))"
+    return f"""
+    SELECT {conv_col}, n_turns, n_triggers, n_dangling, first_dangling_turn
+    FROM (
+      SELECT {conv_col},
+             COUNT(*) AS n_turns,
+             CAST(SUM(CASE WHEN {role_col} = '{trigger_role}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_triggers,
+             CAST(SUM(CASE WHEN _dangling THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dangling,
+             CAST(MIN(CASE WHEN _dangling THEN {order_col} END) AS BIGINT)
+               AS first_dangling_turn
+      FROM (
+        SELECT {conv_col}, {order_col}, {role_col},
+               ({role_col} = '{trigger_role}') AND (
+                 _next_resp_ms IS NULL
+                 OR _next_resp_ms - _ms > {max_wait_s * 1000}
+               ) AS _dangling
+        FROM (
+          SELECT {conv_col}, {order_col}, {role_col}, {ms} AS _ms,
+                 MIN(CASE WHEN {role_col} = '{response_role}'
+                          THEN {ms} END)
+                   OVER (PARTITION BY {conv_col} ORDER BY {order_col} DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS _next_resp_ms
+          FROM {table}))
+      GROUP BY {conv_col})
+    WHERE n_dangling > 0"""
+
+
+ABSENCE_TIME_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_idx", T.LongType()),
+        T.StructField("pend_idx", T.ArrayType(T.LongType())),
+        T.StructField("pend_sym", T.StringType()),
+        T.StructField("pend_ms", T.ArrayType(T.LongType())),
+        T.StructField("open_idx", T.ArrayType(T.LongType())),
+        T.StructField("open_ms", T.ArrayType(T.LongType())),
+        T.StructField("n_triggers", T.LongType()),
+        T.StructField("n_dangling", T.LongType()),
+        T.StructField("first_dangling", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _stream_absence_time_fn(
+    trig_sym: str, resp_sym: str, max_wait_ms: int, symbols: dict[str, str],
+    idle_timeout_seconds: int,
+):
+    from vaero_spark.operators.state import _arm_idle_timeout, _pdf_max_us
+
+    def fn(
+        key: Tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            (next_idx, pend_idx, pend_sym, pend_ms, open_idx, open_ms,
+             n_trig, n_dang, first_dang, last_us) = state.get
+            pend = {
+                i: (s, m)
+                for i, s, m in zip(pend_idx or [], pend_sym or "", pend_ms or [])
+            }
+            open_t = list(zip(open_idx or [], open_ms or []))
+        else:
+            next_idx, n_trig, n_dang, first_dang, last_us = 0, 0, 0, -1, 0
+            pend, open_t = {}, []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            last_us = _pdf_max_us(pdf, last_us)
+            idxs = pdf["turn_idx"].to_numpy()
+            keep = idxs >= next_idx
+            syms = pdf["role"][keep].map(symbols).fillna(UNKNOWN_SYMBOL)
+            tsk = pdf["ts"][keep]
+            ims = tsk.astype("int64")
+            ims = ims // (1_000_000 if tsk.dtype == "datetime64[ns]" else 1_000)
+            for i, s, m in zip(idxs[keep].tolist(), syms.tolist(), ims.tolist()):
+                if i not in pend:
+                    pend[i] = (s, m)
+        advanced = False
+        while next_idx in pend:
+            s, m = pend.pop(next_idx)
+            # per-conv ts is non-decreasing in turn order (the canonical
+            # derivation orders turn_idx by ts), so once THIS turn is
+            # past a trigger's deadline every earlier turn was too:
+            # the trigger's wait window is fully seen -> dangling, FINAL
+            while open_t and m - open_t[0][1] > max_wait_ms:
+                t_idx, _ = open_t.pop(0)
+                n_dang += 1
+                if first_dang < 0:
+                    first_dang = t_idx
+            if s == resp_sym:
+                open_t.clear()  # every survivor answered within the wait
+            if s == trig_sym:
+                n_trig += 1
+                open_t.append((next_idx, m))
+            next_idx += 1
+            advanced = True
+        if advanced:
+            emit_dang = n_dang + len(open_t)
+            emit_first = first_dang if first_dang >= 0 else (
+                open_t[0][0] if open_t else -1
+            )
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [next_idx],
+                    "n_triggers": [n_trig],
+                    "n_dangling": [emit_dang],
+                    "first_dangling_turn": [emit_first],
+                }
+            )
+        state.update(
+            (
+                next_idx,
+                sorted(pend),
+                "".join(pend[i][0] for i in sorted(pend)),
+                [pend[i][1] for i in sorted(pend)],
+                [i for i, _ in open_t],
+                [m for _, m in open_t],
+                n_trig,
+                n_dang,
+                first_dang,
+                last_us,
+            )
+        )
+        _arm_idle_timeout(state, last_us, idle_timeout_seconds)
+
+    return fn
+
+
+def stream_cep_absence_time(
+    stream: DataFrame,
+    trigger_role: str = "user",
+    response_role: str = "assistant",
+    max_wait_s: int = 3600,
+    watermark: str = "10 minutes",
+    symbols: dict[str, str] = ROLE_SYMBOLS,
+    idle_timeout_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """STREAMING time-based absence — the live
+    :func:`cep_absence_time` and the true Flink
+    ``notFollowedBy().within(Time)``: a trigger settles as DANGLING the
+    moment a later turn's event time proves the wait window elapsed
+    unanswered (event time, not wall clock, drives the decision — per-
+    conversation timestamps are non-decreasing in turn order, so a turn
+    past a trigger's deadline means every turn in the window was seen).
+    A response settles all surviving open triggers as answered. Open
+    state is bounded by the trigger arrival rate within one wait window
+    (+ the disorder buffer); each emission folds open triggers in as
+    dangling-at-prefix-end, so every emission equals the batch scan of
+    the seen prefix, and drained == :func:`cep_absence_time` row for
+    row (same SQL oracle).
+
+    Emits (conv_id, n_turns, n_triggers, n_dangling,
+    first_dangling_turn) in UPDATE mode on contiguous-prefix advance.
+    """
+    if trigger_role == response_role:
+        raise ValueError("trigger and response roles must differ")
+    if max_wait_s < 0:
+        raise ValueError("max_wait_s must be >= 0")
+    trig_sym = symbols[trigger_role]
+    resp_sym = symbols[response_role]
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _stream_absence_time_fn(
+                trig_sym, resp_sym, max_wait_s * 1000, dict(symbols),
+                idle_timeout_seconds,
+            ),
+            outputStructType=ABSENCE_STREAM_OUTPUT_SCHEMA,
+            stateStructType=ABSENCE_TIME_STREAM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
