@@ -272,9 +272,13 @@ CHECKS = {
         ["windowspecdefinition(minute#"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
-    # bloom prune: the probe is a narrow projection vs the bitset
-    # literal — the ONLY join is the exact residual semijoin
-    "bloom_prune": (["LeftSemi"], ["CartesianProduct", "SortMergeJoin"]),
+    # bloom prune (r7 one-pass funnel): the probe is ONE narrow pass —
+    # bitset test + broadcast-hash membership join feeding a single
+    # aggregate; the fact side is never shuffled for the join
+    "bloom_prune": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # upsample: projection + bounded explode ("Generate"), shuffle-free
     "corpus_upsample": (["Generate"], ["Exchange", "CartesianProduct"]),
     # CUSUM: one hourly groupBy; grid join + windows run on key x hour
