@@ -323,6 +323,66 @@ def _gate_stream_input(spark, sf_dir, variant: str) -> str:
     return inp
 
 
+def _stream_state_partitions(input_path: str | None = None, floor: int = 8) -> int:
+    """State-store partition count for a gate's streaming drain, SIZED TO
+    STATE VOLUME rather than the session's batch shuffle width (guide §2:
+    partitioning must be scale-adaptive, not a constant tuned to the local
+    core count). Every micro-batch of a stateful streaming query pays a
+    per-store fixed cost (open/commit of each state store instance —
+    RocksDB under the bench config) TIMES the shuffle-partition count; at
+    gate volume that fixed cost dominates the data (r6 measured the
+    stream-stream outer join at 26.6 s with 32 partitions vs 6.3 s with 8,
+    identical rows). Derivation: one partition per 256 MB of stream input
+    with a floor of 8 — gate inputs yield the floor, petabyte streams get
+    width. ``VAERO_STREAM_STATE_PARTITIONS`` overrides for production
+    tuning."""
+    import os
+
+    env = os.environ.get("VAERO_STREAM_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    size = 0
+    if input_path is not None:
+        for root, _dirs, files in os.walk(input_path):
+            for fname in files:
+                try:
+                    size += os.path.getsize(os.path.join(root, fname))
+                except OSError:
+                    pass
+    return max(floor, size // (256 << 20))
+
+
+class _pinned_state_partitions:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` (which fixes
+    the streaming state-store partition count at query start) around a
+    gate's drain, restoring the session value after — the r6 06f9cea
+    sizing (VERDICT r6 #3), applied to the JVM-NATIVE-state gates only.
+
+    Measured r7 (ABBA, order-balanced, CPU probes healthy): native state
+    ops (dropDuplicates, session/window aggs, stream-stream joins) are
+    per-store-fixed-cost bound and speed up 1.2-1.7x at 8 partitions
+    (w_distinct 8.7→5.3 s, session_native 10.1→8.6 s); the
+    ``applyInPandasWithState`` gates are bound by per-GROUP Python
+    invocation cost, which executor-width parallelism amortizes — the
+    same pin makes them 2-3x SLOWER (open_sessions 26→50-61 s, counters
+    13.6→30-45 s, cep 13.3→30-39 s), so those gates keep the session
+    width and get guide §4.1 column pruning inside the operators
+    instead."""
+
+    def __init__(self, spark, input_path: str | None = None):
+        self.spark = spark
+        self.n = _stream_state_partitions(input_path)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def _stream_transcripts(spark, sf_dir, branch_fns, common_fn=None):
     import tempfile
 
@@ -334,11 +394,13 @@ def _stream_transcripts(spark, sf_dir, branch_fns, common_fn=None):
     inp = _gate_stream_input(spark, sf_dir, "plain")
     src = transcripts_stream(spark, inp, max_files_per_trigger=4)  # >1 epoch
     sinks = {n: ExactlyOnceParquetSink(f"{work}/{n}") for n in branch_fns}
-    pipe = run_streaming_fanout(
-        spark, src, branch_fns, lambda n: sinks[n], f"{work}/ckpt", common_fn=common_fn
-    )
-    pipe.process_all()
-    pipe.stop()
+    with _pinned_state_partitions(spark, inp):
+        pipe = run_streaming_fanout(
+            spark, src, branch_fns, lambda n: sinks[n], f"{work}/ckpt",
+            common_fn=common_fn,
+        )
+        pipe.process_all()
+        pipe.stop()
     outs = [s.read_committed(spark).drop("prefix", "epoch") for s in sinks.values()]
     df = outs[0]
     for o in outs[1:]:
@@ -379,14 +441,15 @@ def q_stream_dedup(spark, sf_dir):
         .parquet(inp)
     )
     sink = ExactlyOnceParquetSink(f"{work}/out")
-    q = (
-        src.dropDuplicates(["conv_id", "turn_idx"])
-        .writeStream.option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _pinned_state_partitions(spark, inp):
+        q = (
+            src.dropDuplicates(["conv_id", "turn_idx"])
+            .writeStream.option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return sink.read_committed(spark).drop("prefix", "epoch")
 
 
@@ -409,15 +472,16 @@ def q_stream_dedup_wm(spark, sf_dir):
         .parquet(inp)
     )
     sink = ExactlyOnceParquetSink(f"{work}/out")
-    q = (
-        src.withWatermark("ts", "60 days")
-        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
-        .writeStream.option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _pinned_state_partitions(spark, inp):
+        q = (
+            src.withWatermark("ts", "60 days")
+            .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+            .writeStream.option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return sink.read_committed(spark).drop("prefix", "epoch")
 
 
@@ -447,14 +511,15 @@ def q_stream_session(spark, sf_dir):
     )
     win = session_windows(src.withWatermark("ts", "60 days"), "30 minutes")
     sink = ExactlyOnceParquetSink(f"{work}/out", ts_col="min_ts", order_cols=("conv_id",))
-    q = (
-        win.writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _pinned_state_partitions(spark, inp):
+        q = (
+            win.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         sink.read_committed(spark)
         .drop("epoch", "prefix")
@@ -487,14 +552,15 @@ def q_stream_join(spark, sf_dir):
     sink = ExactlyOnceParquetSink(
         f"{work}/out", ts_col="user_ts", order_cols=("conv_id", "user_turn", "tool_turn")
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _pinned_state_partitions(spark, inp):
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     out = sink.read_committed(spark).drop("epoch", "prefix")
     return out.select(
         "conv_id",
@@ -956,14 +1022,15 @@ def q_stream_interval(spark, sf_dir):
         ts_col="_no_prefix",
         order_cols=("interval_id", "conv_id", "turn_idx"),
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _pinned_state_partitions(spark, inp):
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return sink.read_committed(spark).select(
         "interval_id", "conv_id", "turn_idx", "ts_ms"
     )
@@ -1100,21 +1167,23 @@ def q_stream_trending(spark, sf_dir):
     t.write.parquet(inp)
     src = spark.readStream.schema(t.schema).parquet(inp)  # one batch
     sink = MemorySink()
-    q = (
-        stream_windowed_token_counts(src)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()  # batch 1: the full backlog, nothing late
-    sentinel = spark.createDataFrame(
-        [("__sentinel__", 0, "system", "", "", max_ts + datetime.timedelta(hours=3))],
-        t.schema,
-    )
-    sentinel.write.mode("append").parquet(inp)
-    q.processAllAvailable()  # batch 2: watermark jumps, windows flush
-    q.stop()
+    with _pinned_state_partitions(spark, inp):
+        q = (
+            stream_windowed_token_counts(src)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()  # batch 1: the full backlog, nothing late
+        sentinel = spark.createDataFrame(
+            [("__sentinel__", 0, "system", "", "",
+              max_ts + datetime.timedelta(hours=3))],
+            t.schema,
+        )
+        sentinel.write.mode("append").parquet(inp)
+        q.processAllAvailable()  # batch 2: watermark jumps, windows flush
+        q.stop()
     rows = [(r.win_start, r.token, r.n) for _, batch in sink.batches for r in batch]
     counts = spark.createDataFrame(rows, "win_start timestamp, token string, n long")
     return TR.group_topk(counts, "win_start", "n", "token", k=5)
@@ -1890,20 +1959,21 @@ def q_stream_w_distinct(spark, sf_dir):
     ev.write.parquet(inp)
     src = spark.readStream.schema(ev.schema).parquet(inp)  # one batch
     sink = MemorySink()
-    q = (
-        stream_windowed_distinct(src)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()  # batch 1: the full backlog, nothing late
-    sentinel = spark.createDataFrame(
-        [(max_ts + datetime.timedelta(hours=3), -1)], ev.schema
-    )
-    sentinel.write.mode("append").parquet(inp)
-    q.processAllAvailable()  # batch 2: watermark jumps, windows flush
-    q.stop()
+    with _pinned_state_partitions(spark, inp):
+        q = (
+            stream_windowed_distinct(src)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()  # batch 1: the full backlog, nothing late
+        sentinel = spark.createDataFrame(
+            [(max_ts + datetime.timedelta(hours=3), -1)], ev.schema
+        )
+        sentinel.write.mode("append").parquet(inp)
+        q.processAllAvailable()  # batch 2: watermark jumps, windows flush
+        q.stop()
     rows = [(r.win_start, r.n_users) for _, batch in sink.batches for r in batch]
     return spark.createDataFrame(rows, "win_start timestamp, n_users long")
 
@@ -2092,21 +2162,23 @@ def q_stream_hll(spark, sf_dir):
     t.write.parquet(inp)
     src = spark.readStream.schema(t.schema).parquet(inp)  # one batch
     sink = MemorySink()
-    q = (
-        stream_windowed_hll(src)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .foreachBatch(sink.foreach_batch())
-        .start()
-    )
-    q.processAllAvailable()  # batch 1: the full backlog, nothing late
-    sentinel = spark.createDataFrame(
-        [("__sentinel__", 0, "system", "", "", max_ts + datetime.timedelta(hours=3))],
-        t.schema,
-    )
-    sentinel.write.mode("append").parquet(inp)
-    q.processAllAvailable()  # batch 2: watermark jumps, windows flush
-    q.stop()
+    with _pinned_state_partitions(spark, inp):
+        q = (
+            stream_windowed_hll(src)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()  # batch 1: the full backlog, nothing late
+        sentinel = spark.createDataFrame(
+            [("__sentinel__", 0, "system", "", "",
+              max_ts + datetime.timedelta(hours=3))],
+            t.schema,
+        )
+        sentinel.write.mode("append").parquet(inp)
+        q.processAllAvailable()  # batch 2: watermark jumps, windows flush
+        q.stop()
     rows = [
         (r.win_start, r.register, r.max_rank) for _, batch in sink.batches for r in batch
     ]
@@ -2251,9 +2323,7 @@ def q_stream_session_native(spark, sf_dir):
     src = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(inp)  # one batch
     agg = session_windows(src.withWatermark("ts", "1 hour"), "30 minutes")
     sink = MemorySink()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _pinned_state_partitions(spark, inp):
         q = (
             agg.writeStream.outputMode("append")
             .option("checkpointLocation", f"{work}/ckpt")
@@ -2269,8 +2339,6 @@ def q_stream_session_native(spark, sf_dir):
         sentinel.write.mode("append").parquet(inp)
         q.processAllAvailable()  # watermark jumps; every real session flushes
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     rows = [
         tuple(r)
         for _, batch in sink.batches
@@ -2466,9 +2534,7 @@ def q_stream_outer_join(spark, sf_dir):
         src, watermark="1 hour", max_lag="4 hours", how="left_outer"
     )
     sink = MemorySink()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _pinned_state_partitions(spark, inp):
         q = (
             out.writeStream.outputMode("append")
             .option("checkpointLocation", f"{work}/ckpt")
@@ -2487,8 +2553,6 @@ def q_stream_outer_join(spark, sf_dir):
         sentinel.write.mode("append").parquet(inp)
         q.processAllAvailable()  # watermark jumps; evicted rows emit nulls
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     rows = [
         (r.conv_id, r.user_turn, r.user_ts, r.tool_turn, r.tool_name, r.tool_ts)
         for _, batch in sink.batches
@@ -2558,7 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ops and the window only holds 50); every one keeps an in-window
     family sibling AND stays in the full local replay
     (``tools/check_oracle.py`` runs everything — this round's full
-    sf0.001 AND sf0.01 replays are ALL OK across all 132). The round-6
+    sf0.001 AND sf0.01 replays are ALL OK across all 134, including the
+    late-added cep_absence_t/stream_absence_t pair). The round-6
     ops born after position 50 (``corpus_split`` through
     ``vocab_coverage``, including the second-half cohort: CEP
     negation/within/multi batch+stream, streaming outer join, native
