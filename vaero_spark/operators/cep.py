@@ -55,6 +55,26 @@ ROLE_SYMBOLS = {"user": "u", "assistant": "a", "tool": "t", "system": "s"}
 #: unmapped roles render as '?' — keep it out of patterns
 UNKNOWN_SYMBOL = "?"
 
+#: datetime64 unit -> divisor that converts the int64 view to MILLIS.
+#: Explicit dispatch on the actual unit (ADVICE r6): the old
+#: ``// 1_000_000 if ns else // 1_000`` silently mis-scaled a
+#: datetime64[ms]/[s] series 1000x instead of erroring.
+_MS_DIVISORS = {"s": None, "ms": 1, "us": 1_000, "ns": 1_000_000}
+
+
+def _ts_to_ms(tsk: "pd.Series") -> "pd.Series":
+    """int64 milliseconds from a datetime64 series, whatever its unit."""
+    import numpy as np
+
+    unit, _ = np.datetime_data(tsk.dtype)  # raises on non-datetime dtypes
+    div = _MS_DIVISORS.get(unit)
+    ims = tsk.astype("int64")
+    if div is None:
+        if unit != "s":
+            raise TypeError(f"unsupported datetime64 unit {unit!r}")
+        return ims * 1_000
+    return ims // div
+
 
 def _check_pattern(pattern: str, symbols: dict[str, str]) -> None:
     if re.fullmatch(pattern, ""):
@@ -686,7 +706,10 @@ def stream_cep_kleene(
     """
     l_min, l_max, lazy = parse_kleene_pattern(pattern, symbols)
     return (
-        stream.withWatermark("ts", watermark)
+        # guide §4.1: only the columns the state machine reads cross
+        # the Python boundary (text/tool payloads never ship per group)
+        stream.select("conv_id", "turn_idx", "role", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _stream_cep_kleene_fn(
@@ -736,7 +759,10 @@ def stream_cep_match(
         raise ValueError(f"literal {literal!r} uses symbols outside {sorted(alphabet)}")
     _check_pattern(literal, symbols)
     return (
-        stream.withWatermark("ts", watermark)
+        # guide §4.1: only the columns the state machine reads cross
+        # the Python boundary (text/tool payloads never ship per group)
+        stream.select("conv_id", "turn_idx", "role", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _stream_cep_fn(literal, dict(symbols), idle_timeout_seconds),
@@ -903,7 +929,10 @@ def stream_cep_absence(
     trig_sym = symbols[trigger_role]
     resp_sym = symbols[response_role]
     return (
-        stream.withWatermark("ts", watermark)
+        # guide §4.1: only the columns the state machine reads cross
+        # the Python boundary (text/tool payloads never ship per group)
+        stream.select("conv_id", "turn_idx", "role", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _stream_absence_fn(
@@ -981,10 +1010,8 @@ def _stream_within_fn(
             keep = idxs >= next_idx
             syms = pdf["role"][keep].map(symbols).fillna(UNKNOWN_SYMBOL)
             tsk = pdf["ts"][keep]
-            ims = tsk.astype("int64")
-            # pandas may deliver ns or us resolution (the _pdf_max_us rule)
-            ims = ims // (1_000_000 if tsk.dtype == "datetime64[ns]" else 1_000)
-            mss = ims.tolist()
+            # unit-dispatched ms conversion (ADVICE r6: never assume us/ns)
+            mss = _ts_to_ms(tsk).tolist()
             for i, s, m in zip(idxs[keep].tolist(), syms.tolist(), mss):
                 if i not in pend:  # first arrival wins; late dups drop
                     pend[i] = (s, m)
@@ -1063,7 +1090,10 @@ def stream_cep_within(
     if max_span_s < 0:
         raise ValueError("max_span_s must be >= 0")
     return (
-        stream.withWatermark("ts", watermark)
+        # guide §4.1: only the columns the state machine reads cross
+        # the Python boundary (text/tool payloads never ship per group)
+        stream.select("conv_id", "turn_idx", "role", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _stream_within_fn(
@@ -1318,9 +1348,8 @@ def _stream_absence_time_fn(
             keep = idxs >= next_idx
             syms = pdf["role"][keep].map(symbols).fillna(UNKNOWN_SYMBOL)
             tsk = pdf["ts"][keep]
-            ims = tsk.astype("int64")
-            ims = ims // (1_000_000 if tsk.dtype == "datetime64[ns]" else 1_000)
-            for i, s, m in zip(idxs[keep].tolist(), syms.tolist(), ims.tolist()):
+            # unit-dispatched ms conversion (ADVICE r6: never assume us/ns)
+            for i, s, m in zip(idxs[keep].tolist(), syms.tolist(), _ts_to_ms(tsk).tolist()):
                 if i not in pend:
                     pend[i] = (s, m)
         advanced = False
@@ -1400,6 +1429,14 @@ def stream_cep_absence_time(
 
     Emits (conv_id, n_turns, n_triggers, n_dangling,
     first_dangling_turn) in UPDATE mode on contiguous-prefix advance.
+
+    PRECONDITION (ADVICE r6): per-conversation event time must be
+    non-decreasing in ``turn_idx`` — the dangling settlement reads "a
+    later turn past the deadline proves the window elapsed", which only
+    holds under that monotonicity (the canonical transcripts derivation
+    guarantees it: ``ts`` is strictly increasing within a conversation).
+    On data violating it the streamed result can settle triggers early
+    and diverge from the batch :func:`cep_absence_time` oracle.
     """
     if trigger_role == response_role:
         raise ValueError("trigger and response roles must differ")
@@ -1408,7 +1445,10 @@ def stream_cep_absence_time(
     trig_sym = symbols[trigger_role]
     resp_sym = symbols[response_role]
     return (
-        stream.withWatermark("ts", watermark)
+        # guide §4.1: only the columns the state machine reads cross
+        # the Python boundary (text/tool payloads never ship per group)
+        stream.select("conv_id", "turn_idx", "role", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _stream_absence_time_fn(

@@ -19,6 +19,7 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -136,9 +137,14 @@ def track_open_sessions(
     ``closed=True`` row when the watermark passes ``last_ts + gap`` —
     the event-time version of the reference's time-cap flush timer
     (``sinkNode.go:242-254``: flush fires ``batch_max_time`` after buffer
-    creation unless flushed meanwhile)."""
+    creation unless flushed meanwhile).
+
+    Only ``(conv_id, ts)`` crosses the Python boundary — the tracker
+    reads nothing else, and shipping the payload columns per group would
+    multiply the Arrow transfer ~10x for nothing (guide §4.1)."""
     return (
-        stream.withWatermark("ts", watermark)
+        stream.select("conv_id", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _session_tracker(gap_seconds),
@@ -311,7 +317,9 @@ def _counter_fn(idle_timeout_seconds: int):
             total += len(pdf)
             n_user += int((pdf["role"] == "user").sum())
             n_tool += int((pdf["role"] == "tool").sum())
-            n_error += int(pdf["text"].str.contains("error", regex=False).sum())
+            # text never crosses the boundary — the error probe is the
+            # JVM-evaluated `_is_error` flag (guide §4.1 column pruning)
+            n_error += int(pdf["_is_error"].sum())
             if len(pdf):
                 last_us = _pdf_max_us(pdf, last_us)
         state.update((total, n_user, n_tool, n_error, last_us))
@@ -338,9 +346,21 @@ def routing_counters(
     counters' state). Per-key state is evicted after
     ``idle_timeout_seconds`` of event-time idleness — the store holds
     only conversations active within the horizon, not every conversation
-    ever seen."""
+    ever seen.
+
+    Python-boundary shape (guide §4.1): only the columns the state
+    function reads cross into the worker — the error probe on ``text``
+    is evaluated JVM-side into a boolean flag, so the payload column
+    never ships (``F.sum`` of the flag equals pandas
+    ``str.contains('error').sum()``: null text counts 0 in both)."""
+    narrow = stream.select(
+        "conv_id",
+        "role",
+        F.coalesce(F.col("text").contains("error"), F.lit(False)).alias("_is_error"),
+        "ts",
+    )
     return (
-        stream.withWatermark("ts", watermark)
+        narrow.withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _counter_fn(idle_timeout_seconds),
@@ -395,7 +415,10 @@ def _flush_fn(batch_max_bytes: int, batch_max_time_s: int):
         buf_bytes, buf_events, last_us = state.get if state.exists else (0, 0, 0)
         flushed = []
         for pdf in pdf_iter:
-            sizes = pdf["text"].str.len().astype("int64") + 1  # + newline, like "\n".join
+            # text itself never ships — the JVM-computed char length is
+            # all the cap logic reads (guide §4.1; F.length == str.len
+            # on code points)
+            sizes = pdf["_text_len"].astype("int64") + 1  # + newline, like "\n".join
             us = pdf["ts"].astype("int64")
             if pdf["ts"].dtype == "datetime64[ns]":
                 us = us // 1000
@@ -439,7 +462,11 @@ def byte_cap_flush(
 
     keyed = (
         stream.filter(F.col("ts").isNotNull())
-        .withColumn("prefix", F.date_format("ts", prefix_format))
+        .select(
+            F.date_format("ts", prefix_format).alias("prefix"),
+            F.length("text").alias("_text_len"),
+            "ts",
+        )
         .withWatermark("ts", watermark)
     )
     return keyed.groupBy("prefix").applyInPandasWithState(
