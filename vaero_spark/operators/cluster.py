@@ -61,7 +61,10 @@ def embed_kmeans(
     C = np.vstack([np.asarray(r[1], dtype="float64") for r in seed_rows])
     C = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
 
+    from vaero_spark.operators.checkpoints import CheckpointTracker
+
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    trk = CheckpointTracker(df.sparkSession)
     labels = None
     for it in range(max_iters):
         C_now = C  # bind the loop variable for the UDF closure
@@ -98,6 +101,7 @@ def embed_kmeans(
                 .localCheckpoint()
             )
             changed = obs.get["changed"]
+        trk.round_done()  # releases the superseded round's blocks
         labels = new_labels
         if changed == 0:
             break
@@ -116,6 +120,7 @@ def embed_kmeans(
             vec = np.array([dims[d] for d in sorted(dims)], dtype="float64")
             C_new[c] = vec / (np.linalg.norm(vec) + 1e-12)
         C = C_new
+    trk.finish()
     return labels.select("vec_id", "cluster")
 
 

@@ -328,6 +328,8 @@ def _min_label_components(
     :func:`neardup_clusters` and :func:`embedding_clusters` (see the
     former's docstring for the localCheckpoint / observe-convergence
     rationale)."""
+    from vaero_spark.operators.checkpoints import CheckpointTracker
+
     # persist the (tiny) symmetric edge list: every propagation round
     # references it, and without the cache each round would re-run the
     # whole candidate-pair pipeline (keep_existing: the callers'
@@ -338,6 +340,7 @@ def _min_label_components(
         ),
         keep_existing=True,
     )
+    trk = CheckpointTracker(edges.sparkSession)
     labels = sym.select(F.col("id_a").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
@@ -368,6 +371,7 @@ def _min_label_components(
             .select("node", "lab")
             .localCheckpoint()  # see docstring: truncates the 2^k lineage
         )
+        trk.round_done()  # releases the superseded round's blocks
         labels = new_labels
         if not obs.get["changed"]:
             break
@@ -376,6 +380,7 @@ def _min_label_components(
             f"{op_name} did not converge in {max_iters} rounds — "
             "the pair graph has a component deeper than max_iters; raise it"
         )
+    trk.finish()
     return labels
 
 

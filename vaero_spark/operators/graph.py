@@ -111,9 +111,13 @@ def textrank(
     wout = e_all.groupBy("src").agg(
         F.greatest(F.sum("w"), F.lit(1).cast("long")).alias("wt")
     )
+    from vaero_spark.operators.checkpoints import CheckpointTracker
+
+    trk = CheckpointTracker(df.sparkSession)
     # static across rounds: materialize once so each round's plan starts
     # from a checkpointed edge relation, not a re-derived lineage tree
     e_w = e_all.join(wout, "src").localCheckpoint()
+    trk.pin_static()  # held for the whole invocation, freed at finish()
 
     ranks = nodes.select("node", F.lit(TEXTRANK_R0).cast("long").alias("r"))
     for _ in range(iters):
@@ -128,7 +132,9 @@ def textrank(
             F.col("dst").alias("node"),
             (F.lit(TEXTRANK_BASE).cast("long") + F.col("_sum")).alias("r"),
         ).localCheckpoint()
+        trk.round_done()  # releases the superseded round's blocks
 
+    trk.finish()
     top = group_topk(
         ranks.withColumn("_g", F.lit(0)), "_g", "r", "node", k=k
     )
