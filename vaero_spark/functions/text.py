@@ -893,7 +893,11 @@ def vocab_coverage(df, text_col: str = "text", ns: tuple[int, ...] = COVERAGE_NS
         F.col("_s.cum_count").alias("cum_count"),
         "total_count",
         F.expr("10000 * _s.cum_count DIV total_count").alias("coverage_bp"),
-    )
+        # ADVICE r6: on a token-less corpus the agg-over-empty row would
+        # yield N null-cum rows while the SQL twin's cross join over the
+        # empty ranked set yields ZERO rows — drop the degenerate rows so
+        # both engines agree (non-empty corpora always have cum_count)
+    ).where(F.col("cum_count").isNotNull())
 
 
 def vocab_coverage_sql(

@@ -35,8 +35,10 @@ def zorder_key(a: Column, b: Column, bits: int = 8) -> Column:
     div/mod arithmetic — identical in any engine, no bit intrinsics."""
     z = F.lit(0).cast("long")
     for i in range(bits):
-        a_bit = (a.cast("long") / F.lit(1 << i)).cast("long") % F.lit(2)
-        b_bit = (b.cast("long") / F.lit(1 << i)).cast("long") % F.lit(2)
+        # true integer division (Spark's `div` == DuckDB `//`), never
+        # double `/` + cast — exact at any magnitude (ADVICE r6)
+        a_bit = F.call_function("div", a.cast("long"), F.lit(1 << i)) % F.lit(2)
+        b_bit = F.call_function("div", b.cast("long"), F.lit(1 << i)) % F.lit(2)
         z = z + a_bit * F.lit(1 << (2 * i + 1)) + b_bit * F.lit(1 << (2 * i))
     return z
 
@@ -89,8 +91,8 @@ def layout_prune_report(
         # range of 2^file_rows_exp "hours" x full a-width... except b
         # only has 2^bits values, so files = b DIV 2^(file_rows_exp-bits)
         # when that is >= 1, else one file per b value
-        "time": (b / F.lit(max(1, 1 << (file_rows_exp - bits)))).cast("long"),
-        "zorder": (z / F.lit(1 << file_rows_exp)).cast("long"),
+        "time": F.call_function("div", b, F.lit(max(1, 1 << (file_rows_exp - bits)))),
+        "zorder": F.call_function("div", z, F.lit(1 << file_rows_exp)),
     }
     (a_lo, a_hi), (b_lo, b_hi) = box_a, box_b
     match = (a >= a_lo) & (a < a_hi) & (b >= b_lo) & (b < b_hi)

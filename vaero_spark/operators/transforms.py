@@ -293,7 +293,8 @@ def upsample_by_weight(
     for s, w in sorted(weights_bp.items()):
         wbp = F.when(F.col(strata_col) == s, F.lit(w).cast("long")).otherwise(wbp)
     draw = F.pmod(_hex_slice_to_long(F.md5(F.col(key).cast("string"))), F.lit(10_000))
-    n = (wbp / F.lit(10_000)).cast("long") + F.when(
+    # integer `div` (== DuckDB `//`), not double `/` + cast (ADVICE r6)
+    n = F.call_function("div", wbp, F.lit(10_000)) + F.when(
         draw < F.pmod(wbp, F.lit(10_000)), F.lit(1)
     ).otherwise(F.lit(0)).cast("long")
     copies = F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)).otherwise(
