@@ -778,31 +778,33 @@ def json_profile(
     ``get_json_object(props, concat('$.', key))`` stays JVM-side
     (probed: non-literal paths evaluate per row in Spark 4.1.2 exactly
     like DuckDB's ``json_extract_string(props, '$.' || key)``). The
-    level chain is materialized through deterministic hash
-    repartitions, so exchange reuse computes every level exactly once
-    (one JSON-parse pass per level, narrow rows on the wire) — no
-    cache to size, no re-parse per union branch.
+    lazy level chain re-derives the parent per level; measured (r7),
+    materializing levels buys nothing at this shape — the wall is the
+    kv production's JSON-parse volume, not recompute (see the in-body
+    comment).
 
     Output: (path, n_present, n_int, n_obj, val_min, val_max).
     """
-    # Each level is MATERIALIZED through a deterministic hash
-    # repartition: level k+1 and the final union then read level k via
-    # ReusedExchange (Spark's exchange reuse — identical canonical
-    # subtrees compute once) instead of re-running the whole JSON
-    # parse/explode chain per union branch. Without it the lazy chain
-    # evaluates level 0 ``max_depth`` times, level 1 ``max_depth - 1``
-    # times, ... — measured 12.3 s → the shuffles move only the narrow
-    # (path, _val) rows (guide §2.4: share one exchange, §2.3: shuffle
-    # the proxy, not the payload). The partition key is a hash of the
-    # row itself — deterministic under task retry (never rand/round-
-    # robin, guide §2.5).
+    # Deliberately a LAZY level chain (r7, measured): materializing each
+    # level so the union computes it once — via hash-repartition
+    # exchange reuse, per-level localCheckpoint, or persist — was
+    # A/B'd order-balanced on the nested gate; repartition reads 14.5-
+    # 15.3 s vs 11.3-12.0 s lazy (the extra shuffles of (path, _val)
+    # cost more than the recompute), and checkpoint/persist tie the
+    # lazy chain within noise (11.2-11.6 s) because writing+reading the
+    # materialized level costs what recomputing it does at this row
+    # shape. The wall is JSON-parse volume in the kv production itself
+    # (kv union alone ≈ the whole query; the aggregate adds nothing) —
+    # see OPTIMIZATION_r07.md for the decomposition and the
+    # semantics-changing rewrites (from_json map / variant_explode)
+    # that were rejected because they alter duplicate-key behavior.
     lvl = df.select(
         F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
         F.col(json_col).alias("_p"),
     ).select(
         F.col("key").alias("path"),
         F.expr("get_json_object(_p, concat('$.', key))").alias("_val"),
-    ).repartition(F.xxhash64("path", "_val"))
+    )
     levels = [lvl]
     for _ in range(1, max_depth):
         deeper = (
@@ -817,7 +819,6 @@ def json_profile(
                 F.concat_ws(".", "path", "key").alias("path"),
                 F.expr("get_json_object(_p, concat('$.', key))").alias("_val"),
             )
-            .repartition(F.xxhash64("path", "_val"))
         )
         levels.append(deeper)
     kv = levels[0]
