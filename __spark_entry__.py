@@ -2632,7 +2632,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     negation/within/multi batch+stream, streaming outer join, native
     sessions, occupancy, bloom prune, z-order, CUSUM, upsample,
     bottom-k, salted join, cube, coverage) get their first driver row
-    in r7 — rotate them to the front then."""
+    in r7 — rotate them to the front then.
+
+    r7 STATUS: round 7 was the optimization round with FROZEN
+    queries/oracles and a per-query r6-vs-r7 comparison keyed on suite
+    position, so the rotation was deliberately deferred (reordering
+    would alias warm-up/session-history effects onto individual queries
+    in that comparison — OPTIMIZATION_r07.md "Left alone"). The 34
+    driver-untested round-6 ops still pass the full local replays
+    (sf0.001 + sf0.01, re-verified in r7); execute the rotation in the
+    next BUILD round."""
     return {
         # -- rotated IN (VERDICT r5 #2: last driver-green row r3/r4) --
         "t_add": q_t_add,
